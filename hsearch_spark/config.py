@@ -1,0 +1,95 @@
+"""Pinned dedup configuration ("same shingle/signature config" anchor).
+
+The reference seeds its LSH projections from wall-clock time
+(pcluster/src/pcluster/pcluster.cpp:84 `srand(time(NULL))`) and from
+`std::random_device` (hclust/src/hclust/lsh.hpp:19-20) — a nondeterminism
+defect we must not reproduce (SURVEY.md §2.12).  Everything here is a pure
+function of the config dataclass: hash families are derived from
+``seed`` with a fixed-stream numpy PCG64, so the same config always
+produces byte-identical signatures on any executor, any cluster size.
+
+Parameter choices mirror the reference's (K, L) AND/OR amplification
+(hclust.cpp:342-345: K=16 AND × L=32 OR) re-expressed as MinHash
+b bands × r rows: num_perm = b*r = 128, b=32, r=4 → S-curve threshold
+t ≈ (1/b)^(1/r) ≈ 0.42, steep enough that Jaccard ≥ 0.8 pairs are
+caught with probability > 1 - (1 - 0.8^4)^32 ≈ 0.9999997.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+
+# 61-bit Mersenne prime: (a*h + b) stays inside uint64 for a,b < 2^31, h < 2^32
+MERSENNE_61 = (1 << 61) - 1
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """All knobs for the dedup pipeline. Frozen → hashable → run lineage key."""
+
+    # --- shingling (ref: k-mer windows, kmer_search.cpp:68-81) ---
+    shingle_k: int = 5            # char 5-grams over canonicalized utf-8 bytes
+    # --- MinHash (ref: E2LSH K×L, hclust/lsh.hpp:29-59 + hclust.cpp:261-289) ---
+    num_perm: int = 128
+    bands: int = 32               # OR-amplification (ref hash_L=32, hclust.cpp:344)
+    rows_per_band: int = 4        # AND-amplification (ref hash_K, hclust.cpp:342)
+    # --- SimHash (ref: KLSH sign bits, pcluster/src/pcluster/lsh.cpp:40-49) ---
+    simhash_bits: int = 64        # ref used 16 bits (pcluster.cpp:13); we use 64
+    simhash_hamming_max: int = 3  # verify gate: bit_count(a^b) <= h
+    # --- exact verify (ref: dis <= R gate, kmer_search.cpp:106-112) ---
+    jaccard_threshold: float = 0.8
+    # --- substring stage (ref: suffix_array.cpp:22-23 500-char comparator cap) ---
+    anchor_gram: int = 50         # length of sampled char-grams
+    anchor_mod: int = 16          # keep grams whose hash % mod == 0 (content-defined)
+    anchor_min_common: int = 3    # docs sharing >= this many anchors are span-dup candidates
+    anchor_df_max: int = 8        # anchors in more docs than this = boilerplate, dropped
+    min_span: int = 200           # minimum repeated-span length targeted
+    # --- skew handling (ref precedent: 500-hit cap, pcluster.cpp:115-116) ---
+    max_bucket_all_pairs: int = 64   # buckets up to this size emit all pairs
+    star_representatives: int = 8    # larger buckets: pair members w/ R smallest ids
+    # --- determinism ---
+    seed: int = 42
+
+    def config_hash(self) -> str:
+        """Stable 12-hex digest of the config → checkpoint lineage key."""
+        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        return hashlib.sha256(blob).hexdigest()[:12]
+
+    # ---- derived, deterministic hash families (broadcast to executors) ----
+
+    def minhash_params(self) -> tuple[np.ndarray, np.ndarray]:
+        """(a, b) arrays for num_perm universal hashes h -> (a*h+b) mod p.
+
+        a in [1, 2^31), b in [0, 2^31): with 32-bit shingle hashes the
+        product a*h < 2^63 never overflows uint64 before the Mersenne mod.
+        Replaces the reference's unseeded N(0,1)/U draws (hclust/lsh.hpp:19-30).
+        """
+        rng = np.random.default_rng(np.random.PCG64(self.seed))
+        a = rng.integers(1, 1 << 31, size=self.num_perm, dtype=np.uint64)
+        b = rng.integers(0, 1 << 31, size=self.num_perm, dtype=np.uint64)
+        return a, b
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError("num_perm must equal bands * rows_per_band")
+
+
+DEFAULT_CONFIG = DedupConfig()
+
+
+@dataclass(frozen=True)
+class PipelineLayout:
+    """Where stage tables land. Parquet stand-in for Iceberg in-sandbox:
+    the reference target is an Iceberg catalog (BASELINE.json input_hint);
+    the sandbox has no iceberg-spark-runtime jar, so StageStore writes
+    parquet directories with the identical schema + a _LINEAGE.json
+    sidecar carrying what Iceberg snapshot metadata would carry."""
+
+    work_dir: str = "/tmp/hsearch_spark_work"
+    stages: tuple[str, ...] = field(
+        default=("docs", "sigs", "bands", "candidates", "edges", "clusters")
+    )

@@ -1,0 +1,123 @@
+"""Signature stage: one vectorized pass computing shingle set + MinHash +
+SimHash + substring anchors per document.
+
+Reference parity (SURVEY.md §2.2/§2.3):
+- shingle set       <- bag-of-k-mers featurization (pcluster.cpp:26-32)
+- MinHash signature <- E2LSH K×L hashing (hclust/lsh.hpp:29-59), all
+  bands in ONE pass instead of the reference's L serial re-scans
+  (hclust.cpp:261-289)
+- SimHash           <- KLSH 16-bit signature (pcluster/lsh.cpp:40-49),
+  widened to 64 bits
+- anchors           <- suffix-array repeated-span detection
+  (IGC/suffix_array.cpp:15-47) re-expressed as content-defined sampling
+
+Implementation: ``mapInPandas`` so all four outputs come from ONE
+shingling of each text (three separate pandas_udf columns would hash
+every document three times). Arrow-batched; per-batch numpy only — no
+per-row Python beyond the unavoidable per-doc loop over variable-length
+texts (each iteration is a vectorized numpy kernel over that doc's
+bytes, matching input_hint "vectorized pandas/Arrow UDFs").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from hsearch_spark.config import DedupConfig
+from hsearch_spark.functions import hashing as H
+
+SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("shingles", T.ArrayType(T.LongType(), False), False),
+        T.StructField("sig", T.ArrayType(T.LongType(), False), False),
+        T.StructField("simhash", T.LongType(), False),
+        T.StructField("anchors", T.ArrayType(T.LongType(), False), False),
+        T.StructField("n_shingles", T.IntegerType(), False),
+    ]
+)
+
+
+def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
+    """docs(doc_id, text, ...) -> sigs(doc_id, shingles, sig, simhash, anchors, n_shingles).
+
+    The (a, b) hash family is derived on the driver from config.seed and
+    captured in the UDF closure (~2 KB) — the broadcast-of-seeded-params
+    pattern replacing the reference's srand(time(NULL)) (pcluster.cpp:84).
+    """
+    a, b = config.minhash_params()
+    k = config.shingle_k
+    bands = config.bands
+    rows = config.rows_per_band
+    gram = config.anchor_gram
+    mod = config.anchor_mod
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            out_sh, out_sig, out_sim, out_anc, out_n = [], [], [], [], []
+            for text in pdf["text"].astype(str):
+                sh = H.shingle_hashes(text, k)
+                sig = H.minhash_signature(sh, a, b)
+                out_sh.append(sh.astype(np.int64))
+                out_sig.append(sig)
+                out_sim.append(H.simhash64(sh))
+                out_anc.append(H.anchor_hashes(text, gram, mod))
+                out_n.append(sh.shape[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "shingles": out_sh,
+                    "sig": out_sig,
+                    "simhash": pd.array(out_sim, dtype="int64"),
+                    "anchors": out_anc,
+                    "n_shingles": pd.array(out_n, dtype="int32"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(compute, SIG_SCHEMA)
+
+
+BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("band_id", T.IntegerType(), False),
+        T.StructField("band_hash", T.LongType(), False),
+    ]
+)
+
+
+def explode_bands(sigs: DataFrame, config: DedupConfig) -> DataFrame:
+    """sigs -> bands(doc_id, band_id, band_hash): b rows per doc.
+
+    The OR-amplification step (ref: L tables, hclust.cpp:261-289) —
+    all b band keys materialized in one pass.
+    """
+    bands = config.bands
+    rows = config.rows_per_band
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            sig_mat = np.stack(pdf["sig"].to_numpy())  # (n, num_perm) int64
+            bh = np.stack(
+                [H.band_hashes(sig_mat[i], bands, rows) for i in range(n)]
+            )  # (n, bands)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), bands),
+                    "band_id": np.tile(
+                        np.arange(bands, dtype=np.int32), n
+                    ),
+                    "band_hash": bh.reshape(-1),
+                }
+            )
+
+    return sigs.select("doc_id", "sig").mapInPandas(compute, BAND_SCHEMA)

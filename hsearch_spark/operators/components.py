@@ -1,0 +1,112 @@
+"""Connected components over the verified-edge table — pure DataFrame loop.
+
+Reference parity: union-find over candidate ids
+(pcluster/src/pcluster/union_find.cpp:16-43). The reference's
+single-node disjoint-set (with its union-by-non-root bug,
+union_find.cpp:31-33 — see SURVEY.md §2.12) is replaced by the
+alternating large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14): provably convergent,
+shuffle-key = node id, O(log n) rounds, no driver-side state beyond the
+loop counter. Dedup graphs are shallow (stars within buckets), so in
+practice 3-5 rounds.
+
+Each round localCheckpoints — without it the lineage doubles every
+iteration and the planner blows up (the distributed analog of the
+reference's in-RAM root[] mutation).
+
+Deterministic canonical labels: cluster_id = min(doc_id) of the
+component — independent of partitioning, row order, and cluster size
+(north-rule determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every larger neighbor of u to min(Γ⁺(u))."""
+    nbrs = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Point each edge large→small; connect all small neighbors to the min."""
+    d = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        d.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """edges(a, b) -> assignments(doc_id, cluster_id), cluster_id = component min.
+
+    Only nodes that appear in edges are returned; the pipeline left-joins
+    back to the full doc set (singletons keep their own id).
+    """
+    e = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    if e.isEmpty():
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+
+    def _state(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        cur = _state(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: every edge is (member, component_min)
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    return members.union(roots).distinct()
+
+
+def assign_clusters(
+    docs: DataFrame, assignments: DataFrame
+) -> DataFrame:
+    """Full assignment table: docs(doc_id, ...) ⟕ CC output; singletons map
+    to themselves (ref: every unseen point becomes its own center,
+    hclust2.cpp:107-118 state 0→1)."""
+    return (
+        docs.select("doc_id")
+        .join(assignments, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )

@@ -1,0 +1,76 @@
+"""Recall evaluation harness: predicted pairs vs. brute-force truth.
+
+Reference parity: `evaulate()` sorted-merge-joins the LSH output against
+the brute-force pair list and reports weighted recall tp/(tp+fn)
+(hclust/src/hclust/motif_both_points.cpp:100-165; standalone
+evaluate2.cpp:88-153). In Spark the sorted-merge is just a full-outer
+join on the pair key; the reference's manual two-pointer walk is the
+physical strategy Catalyst picks (SMJ) anyway.
+
+This module IS the correctness gate: north rule pins dup-pair recall
+≥ 0.99 vs the oracle at the pinned shingle/signature config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_confusion(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Full-outer join of pred(a,b) vs truth(a,b) → per-pair tp/fp/fn flags."""
+    p = pred.select("a", "b", F.lit(True).alias("predicted")).dropDuplicates(
+        ["a", "b"]
+    )
+    t = truth.select("a", "b", F.lit(True).alias("actual")).dropDuplicates(
+        ["a", "b"]
+    )
+    return p.join(t, ["a", "b"], "full_outer").select(
+        "a",
+        "b",
+        F.coalesce("predicted", F.lit(False)).alias("predicted"),
+        F.coalesce("actual", F.lit(False)).alias("actual"),
+    )
+
+
+def recall_metrics(pred: DataFrame, truth: DataFrame) -> dict[str, float]:
+    """{'tp', 'fp', 'fn', 'recall', 'precision'} — driver-side scalars."""
+    conf = pair_confusion(pred, truth)
+    row = conf.agg(
+        F.sum(F.when(F.col("predicted") & F.col("actual"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("predicted") & ~F.col("actual"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("predicted") & F.col("actual"), 1).otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0)
+    return {
+        "tp": tp,
+        "fp": fp,
+        "fn": fn,
+        "recall": tp / (tp + fn) if tp + fn else 1.0,
+        "precision": tp / (tp + fp) if tp + fp else 1.0,
+    }
+
+
+def cluster_pairs(assignments: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) -> implied (a,b) dup pairs via star expansion:
+    every member pairs with the cluster min — O(n) per cluster, carries
+    the same connectivity information as all-pairs."""
+    mins = assignments.groupBy("cluster_id").agg(F.min("doc_id").alias("a"))
+    return (
+        assignments.join(mins, "cluster_id")
+        .where(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+    )
+
+
+def cluster_all_pairs(assignments: DataFrame) -> DataFrame:
+    """Transitive closure of cluster membership: every within-cluster
+    (a,b), a<b. Used for honest recall vs the brute-force truth pair
+    list (truth is all-pairs); oracle scales only — O(n²) per cluster."""
+    x = assignments.select("cluster_id", F.col("doc_id").alias("a"))
+    y = assignments.select("cluster_id", F.col("doc_id").alias("b"))
+    return (
+        x.join(y, "cluster_id")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )

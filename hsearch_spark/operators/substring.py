@@ -1,0 +1,107 @@
+"""Substring (long repeated span) dedup — the suffix-array stage, Spark-first.
+
+Reference parity: the IGC suffix-array pipeline sorts every (row, offset)
+position by suffix content with a 500-char comparator cap, then counts
+runs of equal k-prefixes to find repeated substrings
+(IGC/shuffle_data/IGC/suffix_array.cpp:15-47, 51-68 via
+gen_kmers_from_suffix_array.cpp).
+
+A global suffix sort is the wrong physical plan on a cluster (one giant
+range-partitioned sort over ~corpus-size × avg-len keys). The equivalent
+logical result — "which documents share a span ≥ min_span" — only needs
+*alignment-free sampled gram equality*: hash every `anchor_gram`-char
+window (stride 1) and keep windows whose hash ≡ 0 (mod anchor_mod).
+Anchor positions are chosen by CONTENT, so two documents sharing any
+span ≥ min_span share the same anchors regardless of offset. A shared
+span of length L contains L - gram + 1 windows → expected
+(L - gram + 1)/mod shared anchors; with gram=50, mod=16, L=200 that's
+≈ 9.4, and requiring anchor_min_common=3 makes false positives (random
+50-gram collisions) essentially impossible.
+
+Physical plan: anchors were already computed in the signature pass
+(hsearch_spark.functions.signatures — ONE text scan for MinHash +
+SimHash + anchors); here it's posexplode → groupBy(anchor) →
+within-bucket pairing → groupBy(pair) count — two balanced shuffles on
+64-bit keys, no sort, no Python. The reference's run-length counting
+over the sorted suffix array (A4) is exactly the groupBy(anchor) here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hsearch_spark.config import DedupConfig
+
+
+def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
+    """sigs(doc_id, anchors) -> edges(a, b, n_common_anchors ≥ min_common).
+
+    Boilerplate control: an anchor present in more than `anchor_df_max`
+    documents is a site-wide template span (header/footer/nav), not
+    copied content — merging on it would glue a whole site into one
+    cluster. The document-frequency cap drops those anchors BEFORE
+    pairing, which is simultaneously the skew fix: the hottest anchor
+    bucket is bounded by df_max, so the within-bucket self-join is
+    bounded at C(df_max, 2) pairs. (The reference's analog is its hard
+    hit cap, pcluster.cpp:115-116 — ours is semantic, not positional.)
+    The star-R cap below remains as a backstop for df ≤ df_max buckets.
+    """
+    anchors = sigs.select(
+        "doc_id", F.explode("anchors").alias("anchor")
+    )
+    w = Window.partitionBy("anchor").orderBy("doc_id")
+    ranked = (
+        anchors.withColumn("rnk", F.row_number().over(w))
+        .withColumn("bsz", F.count("*").over(Window.partitionBy("anchor")))
+        .where(
+            (F.col("bsz") > 1) & (F.col("bsz") <= config.anchor_df_max)
+        )
+    )
+    x, y = ranked.alias("x"), ranked.alias("y")
+    small = F.col("x.bsz") <= config.max_bucket_all_pairs
+    star = F.col("x.rnk") <= config.star_representatives
+    pair_counts = (
+        x.join(
+            y,
+            on=[
+                F.col("x.anchor") == F.col("y.anchor"),
+                F.col("x.rnk") < F.col("y.rnk"),
+                small | star,
+            ],
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+        )
+        .agg(F.count("*").alias("n_common_anchors"))
+    )
+    return pair_counts.where(
+        F.col("n_common_anchors") >= config.anchor_min_common
+    )
+
+
+def repeated_window_counts(
+    docs: DataFrame, window: int, stride: int
+) -> DataFrame:
+    """Direct analog of the reference's sorted-suffix run-length counter
+    (gen_kmers_from_suffix_array.cpp:51-68): count how many times each
+    fixed-width text window repeats across the corpus. Diagnostic /
+    boilerplate-mining operator; SQL-expressible (driver contract).
+
+    Uses strided substring extraction (sequence + transform) — all
+    built-ins. The groupBy replaces the global suffix sort; at scale the
+    aggregation is partial (map-side) + final, shuffle key = window hash.
+    """
+    t = F.col("text")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - window + 1, F.lit(1)),
+        F.lit(stride),
+    )
+    wins = docs.select(
+        F.explode(
+            F.transform(starts, lambda s: F.substring(t, s, window))
+        ).alias("win")
+    ).where(F.length("win") == window)
+    return wins.groupBy("win").agg(F.count("*").alias("n_occurrences"))

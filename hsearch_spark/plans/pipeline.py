@@ -1,0 +1,117 @@
+"""End-to-end dedup pipeline: pages → docs → sigs → bands → candidates →
+edges → clusters. Every stage checkpointed + resumable (StageStore).
+
+This is the Spark restatement of the reference's pcluster lifecycle
+(SURVEY.md §3.1): FASTA scan → bag-of-kmers → KLSH bucket → per-bucket
+exact search → union-find, re-planned as declarative DataFrame stages.
+
+Edge sources feeding connected components:
+- exact fingerprint pairs  (free; catches byte-identical docs even when
+  MinHash banding would — belt and braces, both cost one shuffle)
+- MinHash band candidates → exact-Jaccard verify  (near dups)
+- SimHash hamming pairs    (optional second channel, off by default —
+  redundant with MinHash at τ=0.8; kept for config parity w/ pcluster)
+- anchor substring pairs   (long shared spans; marked method='substring'
+  and NOT subject to the Jaccard gate — a 300-char span in two long
+  otherwise-different docs is a dup-span edge, ref IGC suffix stage)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hsearch_spark.config import DedupConfig
+from hsearch_spark.functions.signatures import add_signature_columns, explode_bands
+from hsearch_spark.functions.text import extract_pages
+from hsearch_spark.operators.candidates import candidate_pairs, simhash_candidates
+from hsearch_spark.operators.components import assign_clusters, connected_components
+from hsearch_spark.operators.dedup import exact_duplicate_pairs
+from hsearch_spark.operators.substring import substring_edges
+from hsearch_spark.operators.verify import verify_pairs
+from hsearch_spark.sources.io import StageStore
+
+
+@dataclass
+class DedupResult:
+    clusters: DataFrame           # (doc_id, cluster_id)
+    edges: DataFrame              # (a, b, jaccard, method)
+    docs: DataFrame               # (doc_id, url, text, lang)
+    metrics: dict = field(default_factory=dict)
+
+
+def run_dedup(
+    spark: SparkSession,
+    pages: DataFrame,
+    config: DedupConfig | None = None,
+    work_dir: str | None = None,
+    enable_simhash_channel: bool = False,
+    enable_substring_channel: bool = True,
+) -> DedupResult:
+    """Full pipeline. If work_dir is set, stages checkpoint + resume there."""
+    config = config or DedupConfig()
+    store = (
+        StageStore(spark, work_dir, config.config_hash()) if work_dir else None
+    )
+    timings: dict[str, float] = {}
+
+    def stage(name: str, build) -> DataFrame:
+        t0 = time.monotonic()
+        if store is not None:
+            df = store.materialize(name, build)
+        else:
+            df = build().localCheckpoint()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return df
+
+    docs = stage("docs", lambda: extract_pages(pages))
+    sigs = stage("sigs", lambda: add_signature_columns(docs, config))
+    bands = stage("bands", lambda: explode_bands(sigs, config))
+    cands = stage("candidates", lambda: candidate_pairs(bands, config))
+
+    def build_edges() -> DataFrame:
+        minhash_edges = verify_pairs(cands, sigs, config, method="minhash")
+        exact_edges = exact_duplicate_pairs(docs).select(
+            "a", "b", F.lit(1.0).alias("jaccard"), F.lit("exact").alias("method")
+        )
+        e = minhash_edges.unionByName(exact_edges)
+        if enable_simhash_channel:
+            sim_cands = simhash_candidates(sigs, config)
+            e = e.unionByName(
+                verify_pairs(sim_cands, sigs, config, method="simhash")
+            )
+        if enable_substring_channel:
+            sub = substring_edges(sigs, config).select(
+                "a",
+                "b",
+                F.lit(None).cast("double").alias("jaccard"),
+                F.lit("substring").alias("method"),
+            )
+            e = e.unionByName(sub)
+        # one row per pair; keep the strongest evidence (min_by on method
+        # rank — exact > minhash > simhash > substring)
+        rank = F.when(F.col("method") == "exact", 0).when(
+            F.col("method") == "minhash", 1
+        ).when(F.col("method") == "simhash", 2).otherwise(3)
+        return (
+            e.withColumn("_rank", rank)
+            .groupBy("a", "b")
+            .agg(
+                F.min_by(F.struct("jaccard", "method"), F.col("_rank")).alias("best")
+            )
+            .select("a", "b", "best.jaccard", "best.method")
+        )
+
+    edges = stage("edges", build_edges)
+    assignments = stage(
+        "clusters",
+        lambda: assign_clusters(docs, connected_components(edges)),
+    )
+
+    metrics = {"timings_sec": timings}
+    if store is not None:
+        metrics["stages"] = store.metrics
+    return DedupResult(assignments, edges, docs, metrics)
