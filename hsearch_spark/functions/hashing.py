@@ -73,19 +73,20 @@ def shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(h)
 
 
-def minhash_signature(
-    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
-) -> np.ndarray:
-    """num_perm MinHash values; empty shingle set -> all MERSENNE_61.
+def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """num_perm MinHash values: min over splitmix64(h XOR seed_i).
 
-    (a*h + b) mod p, p = 2^61-1; a,b < 2^31, h < 2^32 → no overflow.
-    Returns int64 (all values < 2^61 so the sign bit is never set).
+    splitmix64 is a bijection on uint64, so each seed defines a true
+    permutation of the shingle universe (min-wise independence in the
+    random-oracle sense — see DedupConfig.minhash_params for why a
+    small-coefficient linear family fails). Empty set -> all int64 max.
+    Returns int64 (raw uint64 bits reinterpreted; sign irrelevant).
     """
     if shingles.shape[0] == 0:
-        return np.full(a.shape[0], int(MERSENNE_61), dtype=np.int64)
+        return np.full(seeds.shape[0], (1 << 63) - 1, dtype=np.int64)
     # (num_perm, n_shingles) — bounded: n_shingles <= ~100k, num_perm 128
-    vals = (a[:, None] * shingles[None, :] + b[:, None]) % MERSENNE_61
-    return vals.min(axis=1).astype(np.int64)
+    vals = _mix64(shingles[None, :] ^ seeds[:, None])
+    return vals.min(axis=1).view(np.int64)
 
 
 def simhash64(shingles: np.ndarray) -> int:
@@ -115,7 +116,9 @@ def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
     combine + mix, vectorized over all bands at once (the reference
     rebuilds L tables serially, hclust.cpp:261-289).
     """
-    m = sig.astype(np.uint64).reshape(bands, rows_per_band)
+    m = np.ascontiguousarray(sig, dtype=np.int64).view(np.uint64).reshape(
+        bands, rows_per_band
+    )
     acc = np.zeros(bands, dtype=np.uint64)
     for j in range(rows_per_band):
         acc = acc * np.uint64(0x9E3779B97F4A7C15) + m[:, j]
@@ -140,9 +143,13 @@ def anchor_hashes(
 
 
 def jaccard(sh_a: np.ndarray, sh_b: np.ndarray) -> float:
-    """Exact Jaccard over two distinct-shingle arrays (test oracle)."""
+    """Exact Jaccard over two distinct-shingle arrays (test oracle).
+
+    Two empty sets score 0.0, matching verify_pairs: the shingle channel
+    has no evidence for sub-k docs; the exact channel owns them.
+    """
     if sh_a.shape[0] == 0 and sh_b.shape[0] == 0:
-        return 1.0
+        return 0.0
     inter = np.intersect1d(sh_a, sh_b, assume_unique=True).shape[0]
     union = sh_a.shape[0] + sh_b.shape[0] - inter
     return inter / union if union else 1.0

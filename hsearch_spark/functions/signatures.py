@@ -50,7 +50,7 @@ def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
     captured in the UDF closure (~2 KB) — the broadcast-of-seeded-params
     pattern replacing the reference's srand(time(NULL)) (pcluster.cpp:84).
     """
-    a, b = config.minhash_params()
+    seeds = config.minhash_params()
     k = config.shingle_k
     bands = config.bands
     rows = config.rows_per_band
@@ -63,7 +63,7 @@ def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
             out_sh, out_sig, out_sim, out_anc, out_n = [], [], [], [], []
             for text in pdf["text"].astype(str):
                 sh = H.shingle_hashes(text, k)
-                sig = H.minhash_signature(sh, a, b)
+                sig = H.minhash_signature(sh, seeds)
                 out_sh.append(sh.astype(np.int64))
                 out_sig.append(sig)
                 out_sim.append(H.simhash64(sh))

@@ -39,7 +39,12 @@ def verify_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
+    # union == 0 ⇒ both docs shorter than shingle_k: the shingle channel
+    # has NO evidence — score 0, don't merge. (All zero-shingle docs share
+    # the all-sentinel MinHash signature, so without this they'd all land
+    # in one bucket and verify to 1.0, collapsing every tiny doc into one
+    # cluster. Byte-identical short docs are caught by the exact channel.)
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         candidates.join(sa, "a")
         .join(sb, "b")

@@ -1,0 +1,91 @@
+"""Candidate generation: all-pairs semantics for small buckets, star-R
+bound for hot buckets, cross-band dedup, drop ledger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hsearch_spark.config import DedupConfig
+from hsearch_spark.operators.candidates import (
+    bucket_metrics,
+    candidate_pairs,
+    dropped_pairs_metrics,
+    simhash_candidates,
+)
+
+
+def _bands(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, band_id int, band_hash long"
+    )
+
+
+def test_small_bucket_all_pairs(spark):
+    # one bucket of 4 docs → C(4,2) = 6 pairs
+    rows = [(d, 0, 111) for d in [10, 20, 30, 40]]
+    got = candidate_pairs(_bands(spark, rows), DedupConfig()).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    assert pairs == {
+        (10, 20), (10, 30), (10, 40), (20, 30), (20, 40), (30, 40)
+    }
+
+
+def test_singleton_buckets_emit_nothing(spark):
+    rows = [(1, 0, 1), (2, 0, 2), (3, 1, 3)]
+    assert candidate_pairs(_bands(spark, rows), DedupConfig()).count() == 0
+
+
+def test_cross_band_pair_dedup(spark):
+    # same pair appears in two bands → one candidate row (test-once
+    # invariant, ref motif_both_points.cpp:222-243)
+    rows = [(1, 0, 5), (2, 0, 5), (1, 1, 9), (2, 1, 9)]
+    got = candidate_pairs(_bands(spark, rows), DedupConfig()).collect()
+    assert [(r["a"], r["b"]) for r in got] == [(1, 2)]
+
+
+def test_hot_bucket_star_policy_bounds_pairs(spark):
+    cfg = DedupConfig(max_bucket_all_pairs=8, star_representatives=2)
+    n = 20
+    rows = [(d, 0, 777) for d in range(n)]
+    got = candidate_pairs(_bands(spark, rows), cfg).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    # star-2: doc 0 and doc 1 pair with everyone after them
+    expected = {(0, j) for j in range(1, n)} | {(1, j) for j in range(2, n)}
+    assert pairs == expected
+    # connectivity: every doc appears
+    seen = {x for p in pairs for x in p}
+    assert seen == set(range(n))
+
+
+def test_dropped_pairs_ledger(spark):
+    cfg = DedupConfig(max_bucket_all_pairs=8, star_representatives=2)
+    n = 20
+    rows = [(d, 0, 777) for d in range(n)]
+    led = dropped_pairs_metrics(_bands(spark, rows), cfg).collect()
+    assert len(led) == 1
+    total = n * (n - 1) // 2
+    star = 2 * n - 3  # r*n - r(r+1)/2 with r=2 → 2n - 3 = 37
+    assert led[0]["dropped_pairs"] == total - star
+
+
+def test_bucket_metrics_histogram(spark):
+    rows = [(1, 0, 5), (2, 0, 5), (3, 0, 6), (4, 1, 7), (5, 1, 7), (6, 1, 7)]
+    hist = {
+        r["bucket_size"]: r["n_buckets"]
+        for r in bucket_metrics(_bands(spark, rows)).collect()
+    }
+    assert hist == {2: 1, 1: 1, 3: 1}
+
+
+def test_simhash_candidates_hamming_gate(spark):
+    # fp2 differs from fp1 in 2 bits (within hamming max 3, chunk 0 equal
+    # ... bits 20 and 40 → chunks 1 and 2 differ, chunks 0,3 equal)
+    fp1 = 0x0123456789ABCDEF
+    fp2 = fp1 ^ (1 << 20) ^ (1 << 40)
+    fp3 = fp1 ^ ((1 << 16) - 1)  # 16 bits differ → rejected
+    sigs = spark.createDataFrame(
+        [(1, fp1), (2, fp2), (3, fp3)], "doc_id long, simhash long"
+    )
+    got = simhash_candidates(sigs, DedupConfig()).collect()
+    assert {(r["a"], r["b"]) for r in got} == {(1, 2)}

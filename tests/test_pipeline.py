@@ -1,0 +1,117 @@
+"""End-to-end pipeline: recall/precision gate vs planted truth (the
+north-rule correctness criterion), cluster-assignment determinism,
+checkpoint resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hsearch_spark.config import DedupConfig
+from hsearch_spark.operators.evaluate import cluster_all_pairs, recall_metrics
+from hsearch_spark.plans.pipeline import run_dedup
+from hsearch_spark.sources.pages import pages_dataframe
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark):
+    pages, fx = pages_dataframe(spark, n_docs=300, seed=42)
+    res = run_dedup(spark, pages)
+    return res, fx
+
+
+def _truth_pair_ids(spark, res, fx):
+    url_map = res.docs.select("doc_id", "url")
+    tp = spark.createDataFrame(fx.truth_pairs)
+    return (
+        tp.join(
+            url_map.withColumnRenamed("url", "a_url").withColumnRenamed("doc_id", "a"),
+            "a_url",
+        )
+        .join(
+            url_map.withColumnRenamed("url", "b_url").withColumnRenamed("doc_id", "b"),
+            "b_url",
+        )
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    )
+
+
+def test_dup_pair_recall_gate(spark, pipeline_result):
+    """North rule: dup-pair recall >= 0.99 at the pinned config."""
+    res, fx = pipeline_result
+    truth = _truth_pair_ids(spark, res, fx)
+    m = recall_metrics(cluster_all_pairs(res.clusters), truth)
+    assert m["recall"] >= 0.99, m
+    assert m["precision"] >= 0.99, m
+
+
+def test_cluster_assignments_match_planted_truth(spark, pipeline_result):
+    """Exact cluster-assignment match: predicted grouping == planted
+    families (canonical labels compared via co-membership)."""
+    res, fx = pipeline_result
+    pred = {
+        r["doc_id"]: r["cluster_id"] for r in res.clusters.collect()
+    }
+    urls = {r["doc_id"]: r["url"] for r in res.docs.collect()}
+    truth = dict(
+        zip(fx.truth_clusters["url"], fx.truth_clusters["cluster_url"])
+    )
+    # group docs by predicted cluster; every truth family must be exactly
+    # one predicted cluster (and contain no outsiders)
+    from collections import defaultdict
+
+    by_pred = defaultdict(set)
+    for d, c in pred.items():
+        by_pred[c].add(urls[d])
+    by_truth = defaultdict(set)
+    for u, c in truth.items():
+        by_truth[c].add(u)
+    for fam in by_truth.values():
+        matches = [g for g in by_pred.values() if fam & g]
+        assert len(matches) == 1 and matches[0] == fam, fam
+
+
+def test_pipeline_deterministic_across_runs(spark):
+    pages, _ = pages_dataframe(spark, n_docs=150, seed=7)
+    r1 = run_dedup(spark, pages)
+    r2 = run_dedup(spark, pages.repartition(13))
+    c1 = {r["doc_id"]: r["cluster_id"] for r in r1.clusters.collect()}
+    c2 = {r["doc_id"]: r["cluster_id"] for r in r2.clusters.collect()}
+    assert c1 == c2
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    work = str(tmp_path / "work")
+    pages, _ = pages_dataframe(spark, n_docs=120, seed=3)
+    r1 = run_dedup(spark, pages, work_dir=work)
+    c1 = {r["doc_id"]: r["cluster_id"] for r in r1.clusters.collect()}
+    # wipe the final stages → resume recomputes only those
+    cfg_hash = DedupConfig().config_hash()
+    for stage in ("edges", "clusters"):
+        shutil.rmtree(os.path.join(work, cfg_hash, stage))
+    r2 = run_dedup(spark, pages, work_dir=work)
+    assert r2.metrics["stages"]["sigs"].get("resumed") is True
+    assert "resumed" not in r2.metrics["stages"]["edges"]
+    c2 = {r["doc_id"]: r["cluster_id"] for r in r2.clusters.collect()}
+    assert c1 == c2
+    # lineage sidecars carry per-file row counts
+    lineage = json.load(
+        open(os.path.join(work, cfg_hash, "clusters", "_LINEAGE.json"))
+    )
+    assert lineage["rows"] == len(c1)
+    assert sum(lineage["files"].values()) == len(c1)
+
+
+def test_edges_carry_method_and_threshold(spark, pipeline_result):
+    res, _ = pipeline_result
+    rows = res.edges.collect()
+    assert rows
+    for r in rows:
+        assert r["method"] in {"exact", "minhash", "simhash", "substring"}
+        if r["method"] in {"exact", "minhash"}:
+            assert r["jaccard"] >= DedupConfig().jaccard_threshold

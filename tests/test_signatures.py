@@ -1,0 +1,73 @@
+"""Signature UDF output == pure-numpy oracle (same functions, but proves
+the Arrow round-trip and batching don't perturb anything), plus band
+explosion shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from hsearch_spark.config import DedupConfig
+from hsearch_spark.functions import hashing as H
+from hsearch_spark.functions.signatures import add_signature_columns, explode_bands
+
+CFG = DedupConfig()
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_signature_udf_matches_numpy_oracle(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog and keeps running",
+        "completely different content about rivers and mountains here",
+        "",  # empty edge case
+        "short",
+        "the quick brown fox jumps over the lazy dog and keeps running",  # dup of 0
+    ]
+    sigs = {
+        r["doc_id"]: r
+        for r in add_signature_columns(_docs(spark, texts), CFG).collect()
+    }
+    seeds = CFG.minhash_params()
+    for i, t in enumerate(texts):
+        sh = H.shingle_hashes(t, CFG.shingle_k)
+        assert list(sigs[i]["shingles"]) == [int(x) for x in sh.astype(np.int64)]
+        assert list(sigs[i]["sig"]) == [int(x) for x in H.minhash_signature(sh, seeds)]
+        assert sigs[i]["simhash"] == H.simhash64(sh)
+        assert sigs[i]["n_shingles"] == sh.shape[0]
+    # identical text → identical signature
+    assert list(sigs[0]["sig"]) == list(sigs[4]["sig"])
+    assert sigs[0]["simhash"] == sigs[4]["simhash"]
+
+
+def test_signatures_partitioning_invariant(spark):
+    texts = [f"document number {i} " + "filler words here " * (i % 7 + 3) for i in range(50)]
+    d = _docs(spark, texts)
+    s1 = {r["doc_id"]: list(r["sig"]) for r in add_signature_columns(d, CFG).collect()}
+    s2 = {
+        r["doc_id"]: list(r["sig"])
+        for r in add_signature_columns(d.repartition(13), CFG).collect()
+    }
+    assert s1 == s2
+
+
+def test_explode_bands_shape_and_oracle(spark):
+    texts = ["a reasonably long text for banding " * 4, "another text entirely " * 5]
+    sigs = add_signature_columns(_docs(spark, texts), CFG)
+    bands = explode_bands(sigs, CFG)
+    rows = bands.collect()
+    assert len(rows) == len(texts) * CFG.bands
+    seeds = CFG.minhash_params()
+    sh = H.shingle_hashes(texts[0], CFG.shingle_k)
+    expected = H.band_hashes(
+        H.minhash_signature(sh, seeds), CFG.bands, CFG.rows_per_band
+    )
+    got = {
+        r["band_id"]: r["band_hash"] for r in rows if r["doc_id"] == 0
+    }
+    assert [got[i] for i in range(CFG.bands)] == [int(x) for x in expected]

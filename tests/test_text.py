@@ -1,0 +1,100 @@
+"""Canonicalization + extraction: determinism and Spark/python parity.
+
+North-rule per-row invariant: byte-identical extracted text per url
+across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hsearch_spark.functions.text import (
+    _canonicalize_py,
+    canonicalize_text_col,
+    extract_pages,
+    lang_id_col,
+    quality_features,
+    token_count_col,
+)
+from hsearch_spark.sources.pages import pages_dataframe
+
+
+def test_canonicalize_spark_python_parity(spark):
+    samples = [
+        "  Hello   WORLD \t\n mixed case  ",
+        "already canonical text",
+        "",
+        "Tabs\tand\nnewlines\r\neverywhere",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "raw string")
+    got = [
+        r["c"]
+        for r in df.select(canonicalize_text_col(F.col("raw")).alias("c"))
+        .collect()
+    ]
+    # NB: Spark \s and Python re \s agree on ASCII ws;   is matched by
+    # python re \s (unicode) and by Java \s only with UNICODE flag — keep
+    # inputs ASCII-ws for the invariant; non-breaking space documented.
+    expected = [_canonicalize_py(s) for s in samples]
+    for g, e, s in zip(got, expected, samples):
+        if " " not in s:
+            assert g == e, (g, e)
+
+
+def test_extract_pages_deterministic_per_url(spark):
+    pages, _ = pages_dataframe(spark, n_docs=60, seed=42)
+    d1 = extract_pages(pages).select("url", "text").collect()
+    d2 = extract_pages(pages.repartition(7)).select("url", "text").collect()
+    m1 = {r["url"]: r["text"] for r in d1}
+    m2 = {r["url"]: r["text"] for r in d2}
+    assert m1 == m2
+
+
+def test_extract_pages_html_fallback(spark):
+    rows = [
+        ("u1", b"<html><body><p>Hello <b>World</b></p><script>var x=1;</script></body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    out = extract_pages(df).collect()[0]
+    assert out["text"] == "hello world"
+
+
+def test_doc_id_stable_across_partitioning(spark):
+    pages, _ = pages_dataframe(spark, n_docs=40, seed=1)
+    a = {r["url"]: r["doc_id"] for r in extract_pages(pages).collect()}
+    b = {
+        r["url"]: r["doc_id"]
+        for r in extract_pages(pages.repartition(11)).collect()
+    }
+    assert a == b
+
+
+def test_token_count_and_quality(spark):
+    df = spark.createDataFrame(
+        [("the cat sat on the mat.",), ("",)], "text string"
+    )
+    rows = (
+        quality_features(df.withColumn("n_tokens0", token_count_col(F.col("text"))))
+        .collect()
+    )
+    first = {r["text"]: r for r in rows}
+    r = first["the cat sat on the mat."]
+    assert r["n_tokens"] == 6
+    assert 0 < r["punct_ratio"] < 0.1
+    assert r["stopword_ratio"] > 0.3
+    empty = first[""]
+    assert empty["n_tokens"] == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog sat on the mat that day",),
+            ("der hund und die katze ist das beste tier",),
+            ("le chat et la souris dans les maisons des gens",),
+            ("xqz bly krw",),
+        ],
+        "text string",
+    )
+    langs = [r["l"] for r in df.select(lang_id_col(F.col("text")).alias("l")).collect()]
+    assert langs == ["en", "de", "fr", "und"]
