@@ -1,38 +1,634 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)`: flagship dedup pipeline over sf0.001 documents.
+`queries()`: one entry per implemented operator from SURVEY.md §2 plus
+the training-pipeline suite; each callable (spark, sf_dir) -> DataFrame.
+`oracle_sql()`: DuckDB-dialect SQL for every SQL-expressible query.
+Non-SQL-expressible entries (MinHash/SimHash/LSH/anchors — seeded hash
+families) are rows-only by design and say so in their docstrings.
+
+Column-name parity rule: every computed column is aliased identically
+in the Spark code and the SQL. Doubles are rounded in BOTH engines
+before output so the driver's value-hash is stable.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hsearch_spark.config import DedupConfig
+from hsearch_spark.functions.signatures import add_signature_columns, explode_bands
+from hsearch_spark.functions.text import canonicalize_text_col
+from hsearch_spark.operators.candidates import candidate_pairs, simhash_candidates
+from hsearch_spark.operators.components import assign_clusters, connected_components
+from hsearch_spark.operators.dedup import (
+    cosine_topk_bruteforce,
+    embedding_near_dup_pairs,
+)
+from hsearch_spark.operators.substring import substring_edges
+from hsearch_spark.operators.verify import verify_pairs
+
+CFG = DedupConfig()
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with canonicalized text (the dedup input adapter)."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", canonicalize_text_col(F.col("text")).alias("text"), "lang"
+    )
+
+
+def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return add_signature_columns(_docs(spark, sf_dir), CFG)
+
+
+# --------------------------------------------------------------------------
+# flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full near-dup clustering of sf0.001 documents.
+
+    pages→sigs→bands→candidates→verify→CC (SURVEY.md §3.1 lifecycle).
+    """
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    sigs = add_signature_columns(docs, CFG).localCheckpoint()
+    bands = explode_bands(sigs, CFG)
+    cands = candidate_pairs(bands, CFG)
+    edges = verify_pairs(cands, sigs, CFG).select("a", "b")
+    sub = substring_edges(sigs, CFG).select("a", "b")
+    fp_pairs = exact_dup_pairs_df(docs).select("a", "b")
+    all_edges = edges.union(sub).union(fp_pairs)
+    return assign_clusters(docs, connected_components(all_edges))
+
+
+# --------------------------------------------------------------------------
+# SQL-expressible operator queries (Spark side)
+# --------------------------------------------------------------------------
+
+
+def exact_dup_pairs_df(docs: DataFrame) -> DataFrame:
+    keyed = docs.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    mins = (
+        keyed.groupBy("fp")
+        .agg(F.min("doc_id").alias("a"), F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+    return (
+        keyed.join(mins, "fp")
+        .where(F.col("doc_id") != F.col("a"))
+        .select("a", F.col("doc_id").alias("b"))
+    )
+
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/O6/S9: exact-duplicate groups by content fingerprint."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("fingerprint"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-pattern exact-dup pairs (group min ↔ members)."""
+    return exact_dup_pairs_df(_docs(spark, sf_dir))
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: multi-aggregate scan (TPC-H Q1 shape)."""
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: filtered/conditional aggregate (sum where flag = 'R')."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(F.lit(0.0))),
+                2,
+            ).alias("returned_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_min_by_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: keep-best-per-key (min acctbal supplier per nation)."""
+    s = _read(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.asc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "s_nationkey",
+            F.col("s_suppkey").alias("cheapest_suppkey"),
+            F.round("s_acctbal", 2).alias("min_acctbal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: per-group top-k (top 3 orders by totalprice per customer)."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+def q_median_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10/O8: exact median (interpolated percentile)."""
+    o = _read(spark, sf_dir, "orders")
+    return o.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (gap-and-island): sessionize events per user, 30-min gap."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the parquet; session tz is UTC so the cast
+    # is exact and matches DuckDB's epoch_ms on the naive timestamp
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev = F.lag(ms).over(w)
+    # first event of a user starts a session (prev is null)
+    gap = F.when(prev.isNull() | (ms - prev > 1800000), 1).otherwise(0)
+    flagged = e.withColumn("new_session", gap)
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_recall_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: full-outer pred-vs-truth pair join → tp/fp/fn counts.
+
+    pred = doc pairs blocked on (lang, n_chars); truth = identical text.
+    """
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    pred = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            on=[
+                F.col("x.lang") == F.col("y.lang"),
+                F.col("x.n_chars") == F.col("y.n_chars"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+            ],
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    truth = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            on=[
+                F.col("x.text") == F.col("y.text"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+            ],
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    p = pred.withColumn("predicted", F.lit(1))
+    t = truth.withColumn("actual", F.lit(1))
+    conf = p.join(t, ["a", "b"], "full_outer")
+    return conf.agg(
+        F.sum(
+            F.when(F.col("predicted").isNotNull() & F.col("actual").isNotNull(), 1).otherwise(0)
+        ).alias("tp"),
+        F.sum(
+            F.when(F.col("predicted").isNotNull() & F.col("actual").isNull(), 1).otherwise(0)
+        ).alias("fp"),
+        F.sum(
+            F.when(F.col("predicted").isNull() & F.col("actual").isNotNull(), 1).otherwise(0)
+        ).alias("fn"),
+    )
+
+
+def q_distinct_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/U1: distinct-token enumeration per language."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("n_distinct_tokens"))
+        .orderBy("lang")
+    )
+
+
+def q_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/A4/H8: repeated fixed-width text windows (suffix-array analog).
+
+    Window 20 chars, stride 10; windows occurring >1 time corpus-wide.
+    """
+    d = _docs(spark, sf_dir)
+    t = F.col("text")
+    starts = F.sequence(F.lit(1), F.greatest(F.length(t) - 19, F.lit(1)), F.lit(10))
+    wins = d.select(
+        F.explode(F.transform(starts, lambda s: F.substring(t, s, 20))).alias("win")
+    ).where(F.length("win") == 20)
+    return (
+        wins.groupBy("win")
+        .agg(F.count("*").alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 1)
+    )
+
+
+def q_bucket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H6/A8: bucket-size histogram (skew diagnostics shape)."""
+    d = _docs(spark, sf_dir)
+    sizes = d.groupBy(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 2).alias("bucket")
+    ).agg(F.count("*").alias("bucket_size"))
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count("*").alias("n_buckets"))
+        .orderBy("bucket_size")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors per vector (ANN baseline)."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    topk = cosine_topk_bruteforce(e, k=5, id_col="vec_id", vec_col="embedding")
+    return topk.select(
+        "a", "b", F.round("cos_sim", 4).alias("cos_sim"), "rnk"
+    )
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine >= 0.9 (brute force, oracle-able)."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("a_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("va"),
+    )
+    f = _read(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("b_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        e.crossJoin(f)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            F.col("a_id").alias("a"),
+            F.col("b_id").alias("b"),
+            (dot / (na * nb)).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.9)
+        .select("a", "b", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def q_token_stats_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis: token/char budget stats per language."""
+    d = _docs(spark, sf_dir)
+    toks = F.size(F.split("text", " "))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(toks).alias("total_tokens"),
+            F.round(F.avg(toks), 4).alias("avg_tokens"),
+            F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language share of corpus (quality/composition report)."""
+    d = _docs(spark, sf_dir)
+    total = Window.partitionBy()
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn(
+            "share", F.round(F.col("n_docs") / F.sum("n_docs").over(total), 6)
+        )
+        .orderBy("lang")
+    )
+
+
+def q_union_eval_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: key-space union of two tables' category domains."""
+    c = _read(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("k"))
+    o = _read(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("k"))
+    return c.union(o).distinct().orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# non-SQL-expressible (rows-only) — seeded LSH internals
+# --------------------------------------------------------------------------
+
+
+def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash dedup clustering of documents (rows-only: seeded LSH)."""
+    docs = _docs(spark, sf_dir)
+    sigs = add_signature_columns(docs, CFG).localCheckpoint()
+    bands = explode_bands(sigs, CFG)
+    cands = candidate_pairs(bands, CFG)
+    edges = verify_pairs(cands, sigs, CFG).select("a", "b")
+    fp = exact_dup_pairs_df(docs).select("a", "b")
+    return assign_clusters(docs, connected_components(edges.union(fp)))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-gated candidate pairs (rows-only: seeded hashing)."""
+    sigs = _sigs(spark, sf_dir)
+    return simhash_candidates(sigs, CFG)
+
+
+def q_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-join candidate pairs (rows-only: seeded MinHash)."""
+    sigs = _sigs(spark, sf_dir)
+    return candidate_pairs(explode_bands(sigs, CFG), CFG)
+
+
+def q_substring_anchor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-based substring-dup edges (rows-only: content-defined hash)."""
+    return substring_edges(_sigs(spark, sf_dir), CFG)
+
+
+def q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH embedding near-dup (rows-only: seeded projections)."""
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(e, threshold=0.9, n_planes=8, seed=CFG.seed)
+
+
+# --------------------------------------------------------------------------
+# contract tables
+# --------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dup_groups": q_exact_dup_groups,
+        "exact_dup_pairs": q_exact_dup_pairs,
+        "pricing_summary": q_pricing_summary,
+        "conditional_agg": q_conditional_agg,
+        "min_by_supplier": q_min_by_supplier,
+        "topk_orders_per_customer": q_topk_orders_per_customer,
+        "median_order_price": q_median_order_price,
+        "event_sessions": q_event_sessions,
+        "recall_confusion": q_recall_confusion,
+        "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
+        "repeated_windows": q_repeated_windows,
+        "bucket_size_histogram": q_bucket_size_histogram,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "token_stats_per_lang": q_token_stats_per_lang,
+        "lang_distribution": q_lang_distribution,
+        "union_eval_keys": q_union_eval_keys,
+        # rows-only (seeded LSH internals; no SQL equivalent)
+        "minhash_clusters": q_minhash_clusters,
+        "simhash_pairs": q_simhash_pairs,
+        "band_candidates": q_band_candidates,
+        "substring_anchor_edges": q_substring_anchor_edges,
+        "embedding_lsh_neardup": q_embedding_lsh_neardup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# canonicalized text expression shared by the oracles (must mirror
+# hsearch_spark.functions.text.canonicalize_text_col exactly)
+_CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dup_groups": f"""
+            SELECT md5({_CANON}) AS fingerprint,
+                   count(*) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+        """,
+        "exact_dup_pairs": f"""
+            WITH keyed AS (
+              SELECT doc_id, md5({_CANON}) AS fp FROM documents
+            ), mins AS (
+              SELECT fp, min(doc_id) AS a, count(*) AS n
+              FROM keyed GROUP BY fp HAVING count(*) > 1
+            )
+            SELECT m.a AS a, k.doc_id AS b
+            FROM keyed k JOIN mins m USING (fp)
+            WHERE k.doc_id <> m.a
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "conditional_agg": """
+            SELECT l_linestatus,
+                   round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END), 2)
+                     AS returned_qty,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "min_by_supplier": """
+            SELECT s_nationkey,
+                   cheapest_suppkey,
+                   round(min_acctbal, 2) AS min_acctbal
+            FROM (
+              SELECT s_nationkey, s_suppkey AS cheapest_suppkey,
+                     s_acctbal AS min_acctbal,
+                     row_number() OVER (PARTITION BY s_nationkey
+                                        ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+              FROM supplier
+            ) WHERE rn = 1 ORDER BY s_nationkey
+        """,
+        "topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice, 2) AS totalprice, rnk
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+              FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "median_order_price": """
+            SELECT round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 4)
+                     AS median_price,
+                   count(*) AS n_orders
+            FROM orders
+        """,
+        "event_sessions": """
+            WITH flagged AS (
+              SELECT user_id,
+                     CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000 THEN 1
+                          WHEN lag(ts) OVER w IS NULL THEN 1
+                          ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_session) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id ORDER BY user_id
+        """,
+        "recall_confusion": """
+            WITH pred AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM documents x JOIN documents y
+                ON x.lang = y.lang AND x.n_chars = y.n_chars
+               AND x.doc_id < y.doc_id
+            ), truth AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM documents x JOIN documents y
+                ON x.text = y.text AND x.doc_id < y.doc_id
+            ), conf AS (
+              SELECT coalesce(p.a, t.a) AS a,
+                     p.a IS NOT NULL AS predicted,
+                     t.a IS NOT NULL AS actual
+              FROM pred p FULL OUTER JOIN truth t
+                ON p.a = t.a AND p.b = t.b
+            )
+            SELECT sum(CASE WHEN predicted AND actual THEN 1 ELSE 0 END) AS tp,
+                   sum(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END) AS fp,
+                   sum(CASE WHEN NOT predicted AND actual THEN 1 ELSE 0 END) AS fn
+            FROM conf
+        """,
+        "distinct_tokens_per_lang": f"""
+            SELECT lang, count(DISTINCT tok) AS n_distinct_tokens
+            FROM (
+              SELECT lang, unnest(string_split({_CANON}, ' ')) AS tok
+              FROM documents
+            ) WHERE tok <> ''
+            GROUP BY lang ORDER BY lang
+        """,
+        "repeated_windows": f"""
+            WITH canon AS (SELECT {_CANON} AS t FROM documents),
+            starts AS (
+              SELECT t, unnest(range(1, greatest(length(t) - 19, 1) + 1, 10)) AS s
+              FROM canon
+            ),
+            wins AS (
+              SELECT substr(t, CAST(s AS INT), 20) AS win FROM starts
+            )
+            SELECT win, count(*) AS n_occurrences
+            FROM wins WHERE length(win) = 20
+            GROUP BY win HAVING count(*) > 1
+        """,
+        "bucket_size_histogram": f"""
+            WITH sizes AS (
+              SELECT substr(md5({_CANON}), 1, 2) AS bucket,
+                     count(*) AS bucket_size
+              FROM documents GROUP BY 1
+            )
+            SELECT bucket_size, count(*) AS n_buckets
+            FROM sizes GROUP BY bucket_size ORDER BY bucket_size
+        """,
+        "ann_cosine_topk": """
+            WITH pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                            CAST(y.embedding AS DOUBLE[])) AS cos
+              FROM embeddings x, embeddings y
+              WHERE x.vec_id <> y.vec_id
+            ), ranked AS (
+              SELECT a, b, cos,
+                     row_number() OVER (PARTITION BY a
+                                        ORDER BY cos DESC, b ASC) AS rnk
+              FROM pairs
+            )
+            SELECT a, b, round(cos, 4) AS cos_sim, rnk
+            FROM ranked WHERE rnk <= 5
+        """,
+        "embedding_near_dup": """
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                CAST(y.embedding AS DOUBLE[])), 4)
+                     AS cos_sim
+            FROM embeddings x, embeddings y
+            WHERE x.vec_id < y.vec_id
+              AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])) >= 0.9
+        """,
+        "token_stats_per_lang": f"""
+            WITH d AS (SELECT lang, {_CANON} AS t FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   sum(length(string_split(t, ' '))) AS total_tokens,
+                   round(avg(length(string_split(t, ' '))), 4) AS avg_tokens,
+                   round(avg(length(t)), 4) AS avg_chars
+            FROM d GROUP BY lang ORDER BY lang
+        """,
+        "lang_distribution": """
+            SELECT lang, count(*) AS n_docs,
+                   round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+                     AS share
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "union_eval_keys": """
+            SELECT DISTINCT k FROM (
+              SELECT c_mktsegment AS k FROM customer
+              UNION ALL
+              SELECT o_orderpriority AS k FROM orders
+            ) ORDER BY k
+        """,
+    }

@@ -1,0 +1,131 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline = the dedup pipeline (the engine's reason to exist) over a
+deterministic synthetic pages corpus (the driver testdata carries no
+Common-Crawl-style pages table), plus representative operator queries
+over the driver's sf tables. The dedup metric also reports docs/sec.
+
+Scaling evidence (north rule, N vs 4N executors): run
+    python bench.py --scaling
+to execute the identical dedup job at local[8] and local[32] and append
+the throughput + efficiency table to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from hsearch_spark.config import DedupConfig
+from hsearch_spark.plans.pipeline import run_dedup
+from hsearch_spark.session import build_session
+from hsearch_spark.sources.pages import pages_dataframe
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# dedup corpus size for the headline number: sized so the full pipeline
+# at local[32] finishes in a couple of minutes while still shuffling
+# meaningfully (≈ 8k docs ≈ 6 MB text, 256k band rows)
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "8000"))
+
+BENCH_QUERIES = (
+    "pricing_summary",
+    "topk_orders_per_customer",
+    "event_sessions",
+    "exact_dup_groups",
+    "repeated_windows",
+    "ann_cosine_topk",
+    "minhash_clusters",
+)
+
+
+def _time_dedup(spark, n_docs: int, seed: int = 42) -> tuple[float, int]:
+    pages, _ = pages_dataframe(spark, n_docs=n_docs, seed=seed)
+    pages = pages.localCheckpoint()  # exclude fixture generation from timing
+    t0 = time.monotonic()
+    res = run_dedup(spark, pages)
+    n = res.clusters.count()
+    return time.monotonic() - t0, n
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = build_session(app_name="hsearch_bench", cores=CPUS)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+
+    queries: dict[str, float] = {}
+
+    # headline: full dedup pipeline, docs/sec
+    elapsed, n_docs = _time_dedup(spark, N_DOCS)
+    queries["dedup_pipeline"] = round(elapsed, 3)
+    docs_per_sec = round(n_docs / elapsed, 1)
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup_pipeline_plus_operator_suite",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "docs_per_sec_dedup": docs_per_sec,
+                "dedup_n_docs": n_docs,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+def scaling() -> None:
+    """North-rule scaling evidence: same job at local[8] vs local[32]."""
+    results = {}
+    for cores in (8, 32):
+        spark = build_session(app_name=f"hsearch_scaling_{cores}", cores=cores)
+        _time_dedup(spark, 2000)  # warmup (JIT, shuffle dirs)
+        elapsed, n = _time_dedup(spark, N_DOCS, seed=43)
+        results[cores] = {"sec": elapsed, "docs_per_sec": n / elapsed}
+        spark.stop()
+        print(f"local[{cores}]: {elapsed:.1f}s  {n / elapsed:.1f} docs/sec")
+    eff = (results[8]["sec"] / results[32]["sec"]) / 4
+    print(f"scaling efficiency (8→32 cores): {eff:.3f}")
+    stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    row = (
+        f"| {stamp} | {N_DOCS} | "
+        f"{results[8]['docs_per_sec']:.1f} | {results[32]['docs_per_sec']:.1f} | "
+        f"{eff:.3f} |\n"
+    )
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
+    header = (
+        "# BENCH — measured numbers\n\n"
+        "## Scaling (north rule: efficiency >= 0.8 at N -> 4N)\n\n"
+        "Same dedup job, same input, local[8] vs local[32]\n"
+        "(sandbox stand-in for N vs 4N executors); "
+        "efficiency = (T_8/T_32)/4.\n\n"
+        "| run (UTC) | docs | docs/sec @8 | docs/sec @32 | efficiency |\n"
+        "|---|---|---|---|---|\n"
+    )
+    if not os.path.exists(path):
+        with open(path, "w") as f:
+            f.write(header)
+    with open(path, "a") as f:
+        f.write(row)
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

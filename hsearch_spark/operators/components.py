@@ -25,9 +25,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _fresh(df: DataFrame) -> DataFrame:
+    """Re-project u,v with new attribute ids. Self-unions of the same
+    (checkpointed) plan share attribute ids across branches, which trips
+    a NoSuchElementException in Spark 4.1's Union constraint rewriting;
+    aliasing each branch separately avoids it."""
+    return df.select(F.col("u").alias("u"), F.col("v").alias("v"))
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every larger neighbor of u to min(Γ⁺(u))."""
-    nbrs = edges.union(
+    nbrs = _fresh(edges).union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     mins = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
@@ -48,8 +56,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
     ).where(F.col("u") != F.col("v"))
     mins = d.groupBy("u").agg(F.min("v").alias("m"))
     return (
-        d.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        _fresh(
+            d.join(mins, "u").select(
+                F.col("v").alias("u"), F.col("m").alias("v")
+            )
+        )
         .union(mins.select("u", F.col("m").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
