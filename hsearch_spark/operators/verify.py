@@ -29,7 +29,18 @@ def verify_pairs(
     config: DedupConfig,
     method: str = "minhash",
 ) -> DataFrame:
-    """(a, b) -> edges(a, b, jaccard, method) where jaccard >= threshold."""
+    """(a, b) -> edges(a, b, jaccard, method) where jaccard >= threshold.
+
+    Two levels (ref: kmer_search.cpp:100-112 cheap gate → exact verify):
+    1. signature-agreement estimate over the 126-slot sig arrays
+       (~1 KB/doc — broadcast-size side tables, no shingle movement);
+       drop pairs with est < est_prefilter.
+    2. exact Jaccard on shingle arrays for the survivors only.
+    """
+    if config.est_prefilter is not None:
+        candidates = minhash_estimate(candidates, sigs).where(
+            F.col("jaccard_est") >= config.est_prefilter
+        ).select("a", "b")
     sh = sigs.select("doc_id", "shingles")
     sa = sh.select(
         F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a")
