@@ -29,7 +29,7 @@ from hsearch_spark.functions.text import canonicalize_text_col
 from hsearch_spark.operators.candidates import candidate_pairs, simhash_candidates
 from hsearch_spark.operators.components import assign_clusters, connected_components
 from hsearch_spark.operators.dedup import (
-    cosine_topk_bruteforce,
+    cosine_topk_blocked,
     embedding_near_dup_pairs,
 )
 from hsearch_spark.operators.substring import substring_edges
@@ -299,12 +299,10 @@ def q_bucket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-5 neighbors per vector (ANN baseline)."""
-    e = _read(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-    topk = cosine_topk_bruteforce(e, k=5, id_col="vec_id", vec_col="embedding")
+    """Exact cosine top-5 neighbors per vector, block-matmul plan
+    (broadcast reference matrix + one numpy GEMM per Arrow batch)."""
+    e = _read(spark, sf_dir, "embeddings")
+    topk = cosine_topk_blocked(e, k=5, id_col="vec_id", vec_col="embedding")
     return topk.select(
         "a", "b", F.round("cos_sim", 4).alias("cos_sim"), "rnk"
     )
@@ -312,27 +310,23 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine >= 0.9 (brute force, oracle-able)."""
-    e = _read(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("a_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("va"),
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    f = _read(spark, sf_dir, "embeddings").select(
-        F.col("vec_id").alias("b_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("vb"),
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = emb.select(
+        "vec_id", F.transform("v", lambda x: x / norm).alias("v")
     )
+    e = unit.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    f = unit.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
-    na = F.sqrt(F.aggregate(F.col("va"), F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(F.col("vb"), F.lit(0.0), lambda acc, x: acc + x * x))
     return (
         e.crossJoin(f)
-        .where(F.col("a_id") < F.col("b_id"))
-        .select(
-            F.col("a_id").alias("a"),
-            F.col("b_id").alias("b"),
-            (dot / (na * nb)).alias("cos"),
-        )
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", dot.alias("cos"))
         .where(F.col("cos") >= 0.9)
         .select("a", "b", F.round("cos", 4).alias("cos_sim"))
     )
