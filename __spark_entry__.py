@@ -369,9 +369,88 @@ def q_union_eval_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.union(o).distinct().orderBy("k")
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: element-wise centroid (mean vector) per label group."""
+    e = _read(spark, sf_dir, "embeddings")
+    per_dim = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: F.round(s["m"], 4),
+            ).alias("centroid")
+        )
+        .orderBy("label")
+    )
+
+
+def q_doc_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P11: derived per-doc views (flatMap over generated variants —
+    the 6-frame-translation/reverse-complement analog for text):
+    identity, reversed, vowel-masked; fingerprinted."""
+    d = _docs(spark, sf_dir)
+    variants = F.array(
+        F.col("text"),
+        F.reverse(F.col("text")),
+        F.translate(F.col("text"), "aeiou", "*****"),
+    )
+    return d.select(
+        "doc_id", F.posexplode(variants).alias("variant_id", "v")
+    ).select(
+        "doc_id",
+        "variant_id",
+        F.md5(F.col("v").cast("binary")).alias("variant_fp"),
+    )
+
+
+def q_salted_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted partial → final) aggregation — result-identical
+    to a direct groupBy (oracle proves it), physical plan shards hot keys."""
+    from hsearch_spark.operators.skew import salted_agg
+
+    d = _docs(spark, sf_dir).select(
+        "lang", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    out = salted_agg(
+        d,
+        ["lang"],
+        {"n_docs": "count(*)", "total_tokens": "sum(n_toks)", "max_tokens": "max(n_toks)"},
+        salt_factor=8,
+    )
+    return out.orderBy("lang")
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible (rows-only) — seeded LSH internals
 # --------------------------------------------------------------------------
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over documents-as-media (rows-only: sha1 +
+    histogram features aren't DuckDB-expressible)."""
+    from hsearch_spark.functions.multimodal import extract_media_features
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lit("text").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return extract_media_features(media)
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (rows-only)."""
+    from hsearch_spark.functions.multimodal import sample_frames
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return sample_frames(media, n_frames=4, chunk=256)
 
 
 def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,7 +511,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_per_lang": q_token_stats_per_lang,
         "lang_distribution": q_lang_distribution,
         "union_eval_keys": q_union_eval_keys,
+        "label_centroids": q_label_centroids,
+        "doc_variants": q_doc_variants,
+        "salted_token_totals": q_salted_token_totals,
         # rows-only (seeded LSH internals; no SQL equivalent)
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "minhash_clusters": q_minhash_clusters,
         "simhash_pairs": q_simhash_pairs,
         "band_candidates": q_band_candidates,
@@ -624,5 +708,40 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT o_orderpriority AS k FROM orders
             ) ORDER BY k
+        """,
+        "label_centroids": """
+            WITH per_dim AS (
+              SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS pos,
+                     unnest(CAST(embedding AS DOUBLE[])) AS v
+              FROM embeddings
+            ), means AS (
+              SELECT label, pos, avg(v) AS m
+              FROM per_dim GROUP BY label, pos
+            )
+            SELECT label,
+                   array_agg(round(m, 4) ORDER BY pos) AS centroid
+            FROM means GROUP BY label ORDER BY label
+        """,
+        "doc_variants": f"""
+            WITH d AS (SELECT doc_id, {_CANON} AS t FROM documents),
+            v AS (
+              SELECT doc_id, 0 AS variant_id, t AS v FROM d
+              UNION ALL
+              SELECT doc_id, 1, reverse(t) FROM d
+              UNION ALL
+              SELECT doc_id, 2, translate(t, 'aeiou', '*****') FROM d
+            )
+            SELECT doc_id, variant_id, md5(v) AS variant_fp FROM v
+        """,
+        "salted_token_totals": f"""
+            WITH d AS (
+              SELECT lang, length(string_split({_CANON}, ' ')) AS n_toks
+              FROM documents
+            )
+            SELECT lang, count(*) AS n_docs,
+                   sum(n_toks) AS total_tokens,
+                   max(n_toks) AS max_tokens
+            FROM d GROUP BY lang ORDER BY lang
         """,
     }

@@ -1,0 +1,94 @@
+"""spark-submit entrypoint for the dedup pipeline (north rule:
+"runs via spark-submit --py-files on a multi-executor cluster").
+
+    python tools/build_pyfiles.py            # -> dist/hsearch_spark.zip
+    spark-submit --master local[32] \
+        --py-files dist/hsearch_spark.zip \
+        jobs/dedup_job.py \
+        --input /path/to/pages_parquet \
+        --work-dir /tmp/dedup_work \
+        --output /tmp/dedup_out
+
+On a real cluster only --master and memory configs change. --input may
+be a parquet directory with the pages schema (url, warc_ts, html, text,
+lang) or `synthetic:<n_docs>` for the deterministic fixture corpus.
+Re-running with the same --work-dir and config resumes from the last
+completed stage (StageStore lineage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(description="hsearch_spark dedup pipeline")
+    p.add_argument("--input", required=True,
+                   help="pages parquet dir, or synthetic:<n_docs>")
+    p.add_argument("--work-dir", default=None,
+                   help="stage checkpoint dir (enables resume)")
+    p.add_argument("--output", default=None,
+                   help="write clusters parquet here (default: stdout stats only)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-substring", action="store_true")
+    args = p.parse_args(argv)
+
+    # spark-submit provides the session; plain python falls back to local
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("hsearch_dedup").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from hsearch_spark.config import DedupConfig
+    from hsearch_spark.plans.pipeline import run_dedup
+
+    config = DedupConfig(seed=args.seed)
+
+    if args.input.startswith("synthetic:"):
+        from hsearch_spark.sources.pages import pages_dataframe
+
+        n = int(args.input.split(":", 1)[1])
+        pages, _ = pages_dataframe(spark, n_docs=n, seed=args.seed)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    t0 = time.monotonic()
+    res = run_dedup(
+        spark,
+        pages,
+        config=config,
+        work_dir=args.work_dir,
+        enable_substring_channel=not args.no_substring,
+    )
+    if args.output:
+        res.clusters.write.mode("overwrite").parquet(args.output)
+        n_docs = spark.read.parquet(args.output).count()
+    else:
+        n_docs = res.clusters.count()
+    elapsed = time.monotonic() - t0
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    print(
+        json.dumps(
+            {
+                "config_hash": config.config_hash(),
+                "n_docs": n_docs,
+                "n_clusters": n_clusters,
+                "docs_per_sec": round(n_docs / elapsed, 1),
+                "elapsed_sec": round(elapsed, 2),
+                "stage_timings": res.metrics.get("timings_sec", {}),
+                "resumed_stages": [
+                    s
+                    for s, m in res.metrics.get("stages", {}).items()
+                    if m.get("resumed")
+                ],
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
