@@ -67,7 +67,7 @@ def entry(spark: SparkSession) -> DataFrame:
     sigs = add_signature_columns(docs, CFG).localCheckpoint()
     bands = explode_bands(sigs, CFG)
     cands = candidate_pairs(bands, CFG)
-    edges = verify_pairs(cands, sigs, CFG).select("a", "b")
+    edges = verify_pairs(cands, sigs, docs, CFG).select("a", "b")
     sub = substring_edges(sigs, CFG).select("a", "b")
     fp_pairs = exact_dup_pairs_df(docs).select("a", "b")
     all_edges = edges.union(sub).union(fp_pairs)
@@ -459,7 +459,7 @@ def q_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = add_signature_columns(docs, CFG).localCheckpoint()
     bands = explode_bands(sigs, CFG)
     cands = candidate_pairs(bands, CFG)
-    edges = verify_pairs(cands, sigs, CFG).select("a", "b")
+    edges = verify_pairs(cands, sigs, docs, CFG).select("a", "b")
     fp = exact_dup_pairs_df(docs).select("a", "b")
     return assign_clusters(docs, connected_components(edges.union(fp)))
 

@@ -30,7 +30,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # dedup corpus size for the headline number: sized so the full pipeline
 # at local[32] finishes in a couple of minutes while still shuffling
 # meaningfully (≈ 8k docs ≈ 6 MB text, 256k band rows)
-N_DOCS = int(os.environ.get("BENCH_N_DOCS", "8000"))
+N_DOCS = int(os.environ.get("BENCH_N_DOCS", "20000"))
 
 BENCH_QUERIES = (
     "pricing_summary",

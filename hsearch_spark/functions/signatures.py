@@ -34,7 +34,6 @@ from hsearch_spark.functions import hashing as H
 SIG_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("shingles", T.ArrayType(T.LongType(), False), False),
         T.StructField("sig", T.ArrayType(T.LongType(), False), False),
         T.StructField("simhash", T.LongType(), False),
         T.StructField("anchors", T.ArrayType(T.LongType(), False), False),
@@ -44,35 +43,37 @@ SIG_SCHEMA = T.StructType(
 
 
 def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
-    """docs(doc_id, text, ...) -> sigs(doc_id, shingles, sig, simhash, anchors, n_shingles).
+    """docs(doc_id, text, ...) -> sigs(doc_id, sig, simhash, anchors, n_shingles).
 
-    The (a, b) hash family is derived on the driver from config.seed and
-    captured in the UDF closure (~2 KB) — the broadcast-of-seeded-params
+    The seed array is derived on the driver from config.seed and
+    captured in the UDF closure (~1 KB) — the broadcast-of-seeded-params
     pattern replacing the reference's srand(time(NULL)) (pcluster.cpp:84).
+
+    The raw shingle set is deliberately NOT materialized: it is ~10 KB
+    per web page (larger than the text itself) and is only ever needed
+    for the few candidate pairs that survive the signature-estimate
+    prefilter — the exact-verify stage re-shingles those from `text`
+    (operators/verify.py). At 10^12 docs, persisting shingle arrays
+    would dominate total storage and every downstream shuffle.
     """
     seeds = config.minhash_params()
     k = config.shingle_k
-    bands = config.bands
-    rows = config.rows_per_band
     gram = config.anchor_gram
     mod = config.anchor_mod
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf["doc_id"].to_numpy()
-            out_sh, out_sig, out_sim, out_anc, out_n = [], [], [], [], []
+            out_sig, out_sim, out_anc, out_n = [], [], [], []
             for text in pdf["text"].astype(str):
                 sh = H.shingle_hashes(text, k)
-                sig = H.minhash_signature(sh, seeds)
-                out_sh.append(sh.astype(np.int64))
-                out_sig.append(sig)
+                out_sig.append(H.minhash_signature(sh, seeds))
                 out_sim.append(H.simhash64(sh))
                 out_anc.append(H.anchor_hashes(text, gram, mod))
                 out_n.append(sh.shape[0])
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
-                    "shingles": out_sh,
                     "sig": out_sig,
                     "simhash": pd.array(out_sim, dtype="int64"),
                     "anchors": out_anc,

@@ -28,7 +28,7 @@ over the sorted suffix array (A4) is exactly the groupBy(anchor) here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hsearch_spark.config import DedupConfig
@@ -47,33 +47,24 @@ def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     hit cap, pcluster.cpp:115-116 — ours is semantic, not positional.)
     The star-R cap below remains as a backstop for df ≤ df_max buckets.
     """
-    anchors = sigs.select(
-        "doc_id", F.explode("anchors").alias("anchor")
+    anchors = sigs.select("doc_id", F.explode("anchors").alias("anchor"))
+    grouped = anchors.groupBy("anchor").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    w = Window.partitionBy("anchor").orderBy("doc_id")
-    ranked = (
-        anchors.withColumn("rnk", F.row_number().over(w))
-        .withColumn("bsz", F.count("*").over(Window.partitionBy("anchor")))
-        .where(
-            (F.col("bsz") > 1) & (F.col("bsz") <= config.anchor_df_max)
+    n = F.size("ids")
+    grouped = grouped.where((n > 1) & (n <= config.anchor_df_max))
+    pair_structs = F.flatten(
+        F.transform(
+            F.slice("ids", 1, n - 1),
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
     )
-    x, y = ranked.alias("x"), ranked.alias("y")
-    small = F.col("x.bsz") <= config.max_bucket_all_pairs
-    star = F.col("x.rnk") <= config.star_representatives
     pair_counts = (
-        x.join(
-            y,
-            on=[
-                F.col("x.anchor") == F.col("y.anchor"),
-                F.col("x.rnk") < F.col("y.rnk"),
-                small | star,
-            ],
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-        )
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.a", "p.b")
         .agg(F.count("*").alias("n_common_anchors"))
     )
     return pair_counts.where(

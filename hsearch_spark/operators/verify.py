@@ -4,74 +4,92 @@ Reference parity: the exact-distance verify gate after the LSH filter
 (kmer_search.cpp:106-112; threshold gate hash_search.cpp:593-599). Two
 levels, cheapest first (ref two-level filter, SURVEY.md §4):
 
-1. (optional, free) MinHash-estimate prefilter when candidate volume is
-   huge — not enabled by default; the band join is already selective.
-2. exact Jaccard via array_intersect/array_union on the stored shingle
-   arrays — pure JVM-side built-ins, whole-stage codegen, no Python.
+1. signature-agreement estimate over the 126-slot MinHash arrays
+   (~1 KB/doc): the unbiased Jaccard estimator, evaluated JVM-side via
+   zip_with/aggregate. Pairs with est < est_prefilter are dropped —
+   for a true τ=0.8 pair, P(drop) < 1e-4 at prefilter 0.65.
+2. exact Jaccard for the survivors by RE-SHINGLING their texts inside a
+   vectorized pandas UDF (numpy sorted-array intersection). Re-shingling
+   beats storing shingle arrays: the arrays are ~10 KB/doc (bigger than
+   the page text), would dominate the sigs table and every shuffle that
+   touches it, while the exact stage only ever needs them for the tiny
+   post-prefilter candidate set.
 
-Plan shape at scale: candidates(a,b) join sigs twice. `sigs` is large,
-so both joins are shuffle joins on doc_id — but candidates ≪ corpus
-(LSH already pruned), and AQE converts to broadcast when the candidate
-side is small. Shingle arrays never travel further than this one stage.
+Plan shape at scale: candidates(a,b) joins docs(doc_id, text) twice on
+doc_id (shuffle or AQE-broadcast of the candidate side), then one
+mapInPandas pass. Texts travel only for surviving candidates.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from hsearch_spark.config import DedupConfig
+from hsearch_spark.functions import hashing as H
+
+VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("a", T.LongType(), False),
+        T.StructField("b", T.LongType(), False),
+        T.StructField("jaccard", T.DoubleType(), False),
+    ]
+)
+
+
+def exact_jaccard_pairs(
+    candidates: DataFrame, docs: DataFrame, config: DedupConfig
+) -> DataFrame:
+    """(a, b) + docs(doc_id, text) -> (a, b, jaccard) — exact, re-shingled."""
+    k = config.shingle_k
+    d = docs.select("doc_id", "text")
+    ta = d.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
+    paired = candidates.join(ta, "a").join(tb, "b")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            jac = np.empty(len(pdf), dtype=np.float64)
+            for i, (x, y) in enumerate(zip(pdf["text_a"], pdf["text_b"])):
+                jac[i] = H.jaccard(
+                    H.shingle_hashes(str(x), k), H.shingle_hashes(str(y), k)
+                )
+            yield pd.DataFrame(
+                {"a": pdf["a"], "b": pdf["b"], "jaccard": jac}
+            )
+
+    return paired.select("a", "b", "text_a", "text_b").mapInPandas(
+        compute, VERIFY_SCHEMA
+    )
 
 
 def verify_pairs(
     candidates: DataFrame,
     sigs: DataFrame,
+    docs: DataFrame,
     config: DedupConfig,
     method: str = "minhash",
 ) -> DataFrame:
-    """(a, b) -> edges(a, b, jaccard, method) where jaccard >= threshold.
-
-    Two levels (ref: kmer_search.cpp:100-112 cheap gate → exact verify):
-    1. signature-agreement estimate over the 126-slot sig arrays
-       (~1 KB/doc — broadcast-size side tables, no shingle movement);
-       drop pairs with est < est_prefilter.
-    2. exact Jaccard on shingle arrays for the survivors only.
-    """
+    """(a, b) -> edges(a, b, jaccard, method) where jaccard >= threshold."""
     if config.est_prefilter is not None:
-        candidates = minhash_estimate(candidates, sigs).where(
-            F.col("jaccard_est") >= config.est_prefilter
-        ).select("a", "b")
-    sh = sigs.select("doc_id", "shingles")
-    sa = sh.select(
-        F.col("doc_id").alias("a"), F.col("shingles").alias("sh_a")
-    )
-    sb = sh.select(
-        F.col("doc_id").alias("b"), F.col("shingles").alias("sh_b")
-    )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    # union == 0 ⇒ both docs shorter than shingle_k: the shingle channel
-    # has NO evidence — score 0, don't merge. (All zero-shingle docs share
-    # the all-sentinel MinHash signature, so without this they'd all land
-    # in one bucket and verify to 1.0, collapsing every tiny doc into one
-    # cluster. Byte-identical short docs are caught by the exact channel.)
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (
-        candidates.join(sa, "a")
-        .join(sb, "b")
-        .select(
-            "a",
-            "b",
-            jac.alias("jaccard"),
+        candidates = (
+            minhash_estimate(candidates, sigs)
+            .where(F.col("jaccard_est") >= config.est_prefilter)
+            .select("a", "b")
         )
+    return (
+        exact_jaccard_pairs(candidates, docs, config)
         .where(F.col("jaccard") >= config.jaccard_threshold)
         .withColumn("method", F.lit(method))
     )
 
 
-def minhash_estimate(
-    candidates: DataFrame, sigs: DataFrame
-) -> DataFrame:
+def minhash_estimate(candidates: DataFrame, sigs: DataFrame) -> DataFrame:
     """Signature-agreement Jaccard estimate (cheap prefilter / diagnostics).
 
     est = fraction of the num_perm signature slots that agree — the

@@ -73,7 +73,7 @@ def run_dedup(
     cands = stage("candidates", lambda: candidate_pairs(bands, config))
 
     def build_edges() -> DataFrame:
-        minhash_edges = verify_pairs(cands, sigs, config, method="minhash")
+        minhash_edges = verify_pairs(cands, sigs, docs, config, method="minhash")
         exact_edges = exact_duplicate_pairs(docs).select(
             "a", "b", F.lit(1.0).alias("jaccard"), F.lit("exact").alias("method")
         )
@@ -81,7 +81,7 @@ def run_dedup(
         if enable_simhash_channel:
             sim_cands = simhash_candidates(sigs, config)
             e = e.unionByName(
-                verify_pairs(sim_cands, sigs, config, method="simhash")
+                verify_pairs(sim_cands, sigs, docs, config, method="simhash")
             )
         if enable_substring_channel:
             sub = substring_edges(sigs, config).select(

@@ -52,6 +52,20 @@ def _sentence(rng: np.random.Generator, n: int) -> str:
     return " ".join(rng.choice(_VOCAB, size=n))
 
 
+def _web_sentence(rng: np.random.Generator, n: int) -> str:
+    """Sentence over a ~130k-term vocabulary (base words × numeric
+    suffixes), matching real web text's low background Jaccard: with a
+    100-word vocab every pair of 'unique' docs shares ~30% of its char
+    5-grams, so candidate volume grows O(n²) — a fixture artifact, not
+    web behavior. Suffixed terms push background J under ~0.12."""
+    words = rng.choice(_VOCAB, size=n)
+    tags = rng.integers(0, 1000, size=n)
+    use_tag = rng.random(n) < 0.7
+    return " ".join(
+        f"{w}{t}" if u else w for w, t, u in zip(words, tags, use_tag)
+    )
+
+
 def generate_pages(n_docs: int = 500, seed: int = 42) -> PagesFixture:
     rng = np.random.default_rng(seed)
     n_exact_fam = max(1, n_docs // 50)      # ~10% docs in 5-member families
@@ -87,7 +101,7 @@ def generate_pages(n_docs: int = 500, seed: int = 42) -> PagesFixture:
 
     # exact families: identical text, 5 members
     for f in range(n_exact_fam):
-        text = _sentence(rng, 120)
+        text = _web_sentence(rng, 120)
         urls = [url("exact", f, m) for m in range(5)]
         for u in urls:
             add(u, text)
@@ -96,7 +110,7 @@ def generate_pages(n_docs: int = 500, seed: int = 42) -> PagesFixture:
     # near families: prototype + token edits at 1-6% rate (keeps Jaccard
     # of char-5-gram sets above τ=0.8), 5 members
     for f in range(n_near_fam):
-        proto = _sentence(rng, 150).split()
+        proto = _web_sentence(rng, 150).split()
         urls = [url("near", f, m) for m in range(5)]
         for m, u in enumerate(urls):
             toks = list(proto)
@@ -109,11 +123,11 @@ def generate_pages(n_docs: int = 500, seed: int = 42) -> PagesFixture:
 
     # substring families: shared long span (~300 chars) inside distinct docs
     for f in range(n_sub_fam):
-        span = _sentence(rng, 55)  # ≈ 300+ chars
+        span = _web_sentence(rng, 55)  # ≈ 300+ chars
         urls = [url("substring", f, m) for m in range(4)]
         for u in urls:
-            pre = _sentence(rng, 60)
-            post = _sentence(rng, 60)
+            pre = _web_sentence(rng, 60)
+            post = _web_sentence(rng, 60)
             add(u, f"{pre} {span} {post}")
         family_pairs(urls, "substring")
 
@@ -123,14 +137,14 @@ def generate_pages(n_docs: int = 500, seed: int = 42) -> PagesFixture:
     boiler_foot = _sentence(rng, 40)
     for m in range(n_boiler):
         u = url("boiler", 0, m)
-        body = _sentence(rng, 200)
+        body = _web_sentence(rng, 200)
         add(u, f"{boiler_head} {body} {boiler_foot}")
 
     # unique negatives
     langs = np.array(["en", "en", "en", "en", "de", "fr"])
     while uid < n_docs:
         u = url("unique", uid, 0)
-        add(u, _sentence(rng, int(rng.integers(80, 240))), str(rng.choice(langs)))
+        add(u, _web_sentence(rng, int(rng.integers(80, 240))), str(rng.choice(langs)))
 
     pdf = pd.DataFrame(rows)
     pdf["warc_ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(

@@ -108,11 +108,19 @@ class IncrementalDedup:
         # verify needs shingles of BOTH sides — state sigs + new sigs
         old_sigs = self._read_state("sigs")
         all_sigs = sigs if old_sigs is None else sigs.unionByName(old_sigs)
-        edges = verify_pairs(cands, all_sigs, cfg)
+        old_docs = self._read_state("docs")
+        slim_docs = docs.select("doc_id", "text")
+        all_docs = (
+            slim_docs
+            if old_docs is None
+            else slim_docs.unionByName(old_docs)
+        )
+        edges = verify_pairs(cands, all_sigs, all_docs, cfg)
 
         self._append("edges", edges, batch_id)
         self._append("sigs", sigs, batch_id)
         self._append("bands", bands, batch_id)
+        self._append("docs", docs.select("doc_id", "text"), batch_id)
 
     def current_clusters(self) -> DataFrame:
         """CC over the cumulative edge table (on-demand materialization)."""

@@ -36,7 +36,6 @@ def test_signature_udf_matches_numpy_oracle(spark):
     seeds = CFG.minhash_params()
     for i, t in enumerate(texts):
         sh = H.shingle_hashes(t, CFG.shingle_k)
-        assert list(sigs[i]["shingles"]) == [int(x) for x in sh.astype(np.int64)]
         assert list(sigs[i]["sig"]) == [int(x) for x in H.minhash_signature(sh, seeds)]
         assert sigs[i]["simhash"] == H.simhash64(sh)
         assert sigs[i]["n_shingles"] == sh.shape[0]
