@@ -309,7 +309,11 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs at cosine >= 0.9 (brute force, oracle-able)."""
+    """Embedding near-dup pairs at cosine >= 0.4 (brute force, oracle-able).
+
+    Threshold 0.4 (not the production 0.9) because the driver's synthetic
+    embeddings top out near cosine 0.51 — 0.4 yields a non-trivial,
+    oracle-verifiable pair set instead of a vacuous empty result."""
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -327,7 +331,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(f)
         .where(F.col("a") < F.col("b"))
         .select("a", "b", dot.alias("cos"))
-        .where(F.col("cos") >= 0.9)
+        .where(F.col("cos") >= 0.4)
         .select("a", "b", F.round("cos", 4).alias("cos_sim"))
     )
 
@@ -482,9 +486,15 @@ def q_substring_anchor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH embedding near-dup (rows-only: seeded projections)."""
+    """Hyperplane-LSH embedding near-dup (rows-only: seeded projections).
+
+    16 tables × 4 sign bits (OR-amplified, ref hclust.cpp:261-289 L-loop)
+    so recall at the τ=0.4 operating point is high; the brute-force twin
+    `embedding_near_dup` is the oracle-checked exact baseline."""
     e = _read(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(e, threshold=0.9, n_planes=8, seed=CFG.seed)
+    return embedding_near_dup_pairs(
+        e, threshold=0.4, n_planes=4, n_tables=16, seed=CFG.seed
+    )
 
 
 # --------------------------------------------------------------------------
@@ -686,7 +696,7 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings x, embeddings y
             WHERE x.vec_id < y.vec_id
               AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
-                                         CAST(y.embedding AS DOUBLE[])) >= 0.9
+                                         CAST(y.embedding AS DOUBLE[])) >= 0.4
         """,
         "token_stats_per_lang": f"""
             WITH d AS (SELECT lang, {_CANON} AS t FROM documents)

@@ -170,13 +170,16 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets → within-bucket verify.
 
     Hyperplanes seeded from config (contrast ref srand(time(NULL)),
     pcluster.cpp:84), broadcast in the UDF closure. Bucket key = n_planes
-    sign bits (the reference's KLSH key, lsh.cpp:40-49). Verify = exact
-    cosine within bucket, JVM-side.
+    sign bits (the reference's KLSH key, lsh.cpp:40-49), OR-amplified
+    across `n_tables` independent tables (the reference's L-table loop,
+    hclust.cpp:261-289, materialized as one array column + posexplode
+    instead of L re-scans). Verify = exact cosine within bucket, JVM-side.
     """
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     if first is None:
@@ -185,21 +188,24 @@ def embedding_near_dup_pairs(
         )
     dim = first["d"]
     rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    planes = rng.standard_normal((dim, n_planes * n_tables))
 
-    @F.pandas_udf(T.LongType())
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def bucket_udf(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # (batch, dim)
-        bits = (mat @ planes) > 0  # (batch, n_planes)
+        bits = (mat @ planes) > 0  # (batch, n_planes * n_tables)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
         keys = (bits.astype(np.uint64) << np.arange(n_planes, dtype=np.uint64)).sum(
-            axis=1
-        )
-        return pd.Series(keys.astype(np.int64))
+            axis=2
+        )  # (batch, n_tables)
+        # disambiguate tables: high bits carry the table id
+        keys |= np.arange(n_tables, dtype=np.uint64) << np.uint64(48)
+        return pd.Series(list(keys.astype(np.int64)))
 
     bucketed = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        bucket_udf(F.col(vec_col)).alias("bucket"),
+        F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
     )
     norm = F.sqrt(
         F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
