@@ -429,6 +429,125 @@ def q_salted_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("lang")
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1 exact-verify, oracle-checked: word-trigram Jaccard over all doc
+    pairs (brute-force; the small-scale oracle for the LSH channels, ref
+    motif_both_points_noLSH.cpp:36-56). Built-in array fns only."""
+    d = _docs(spark, sf_dir)
+    w = F.split("text", " ")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            ),
+        )
+    )
+    g = d.where(F.size(w) >= 3).select("doc_id", grams.alias("grams"))
+    x = g.select(F.col("doc_id").alias("a"), F.col("grams").alias("ga"))
+    y = g.select(F.col("doc_id").alias("b"), F.col("grams").alias("gb"))
+    jac = F.size(F.array_intersect("ga", "gb")).cast("double") / F.size(
+        F.array_union("ga", "gb")
+    )
+    return (
+        x.crossJoin(y)
+        .where(F.col("a") < F.col("b"))
+        .where(jac >= 0.5)
+        .select("a", "b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def q_nearest_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 probe join: per-label centroids (small) broadcast against every
+    vector; min_by keeps the nearest (A5, kmer_search.cpp:113-120)."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    per_dim = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    centers = (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("c")
+        )
+        .select(F.col("label").alias("c_label"), "c")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = e.crossJoin(F.broadcast(centers)).select(
+        "vec_id", "c_label", dist.alias("d")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by("c_label", "d").alias("nearest_label"),
+            F.round(F.min("d"), 4).alias("dist"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality features (C4/Gopher-style heuristics) per document —
+    training-pipeline quality scoring, all built-in Column fns."""
+    from hsearch_spark.functions.text import quality_features
+
+    qf = quality_features(_docs(spark, sf_dir))
+    return qf.select(
+        "doc_id",
+        "n_chars_c",
+        "n_tokens",
+        F.round("mean_token_len", 4).alias("mean_token_len"),
+        F.round("punct_ratio", 4).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V7 overlap pruning as gaps-and-islands: merge overlapping
+    [shipdate, shipdate+quantity] spans per supplier via a running-max
+    window (ref span merge, hash_search.cpp:1199-1273)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_shipdate").alias("s"),
+        F.date_add("l_shipdate", F.col("l_quantity").cast("int")).alias("e"),
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = li.select(
+        "l_suppkey",
+        F.when(F.max("e").over(w) >= F.col("s"), 0).otherwise(1).alias(
+            "new_island"
+        ),
+    )
+    return (
+        flagged.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("new_island").alias("n_islands"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible (rows-only) — seeded LSH internals
 # --------------------------------------------------------------------------
@@ -524,6 +643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "doc_variants": q_doc_variants,
         "salted_token_totals": q_salted_token_totals,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "nearest_center": q_nearest_center,
+        "quality_scores": q_quality_scores,
+        "interval_islands": q_interval_islands,
         # rows-only (seeded LSH internals; no SQL equivalent)
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -753,5 +876,81 @@ def oracle_sql() -> dict[str, str]:
                    sum(n_toks) AS total_tokens,
                    max(n_toks) AS max_tokens
             FROM d GROUP BY lang ORDER BY lang
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, string_split({_CANON}, ' ') AS w FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    FOR i IN generate_series(1, len(w) - 2)])
+                       AS grams
+              FROM d WHERE len(w) >= 3
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   round(CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(x.grams, y.grams))), 4)
+                     AS jaccard
+            FROM g x JOIN g y ON x.doc_id < y.doc_id
+            WHERE CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(x.grams, y.grams))) >= 0.5
+        """,
+        "nearest_center": """
+            WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), dims AS (
+              SELECT label, i, avg(v[i]) AS m
+              FROM e CROSS JOIN (
+                SELECT unnest(range(1,
+                  (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i
+              )
+              GROUP BY label, i
+            ), centers AS (
+              SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY label
+            )
+            SELECT e.vec_id,
+                   arg_min(c.label, list_distance(e.v, c.c)) AS nearest_label,
+                   round(min(list_distance(e.v, c.c)), 4) AS dist
+            FROM e CROSS JOIN centers c
+            GROUP BY e.vec_id
+            ORDER BY e.vec_id
+        """,
+        "quality_scores": f"""
+            WITH d AS (SELECT doc_id, {_CANON} AS t FROM documents),
+            tok AS (
+              SELECT doc_id, t,
+                     CASE WHEN length(t) = 0 THEN 0
+                          ELSE len(string_split(t, ' ')) END AS n_tokens
+              FROM d
+            )
+            SELECT doc_id,
+                   length(t) AS n_chars_c,
+                   n_tokens,
+                   round(CAST(length(regexp_replace(t, '\\s+', '', 'g')) AS DOUBLE)
+                         / nullif(n_tokens, 0), 4) AS mean_token_len,
+                   CASE WHEN length(t) = 0 THEN 0.0
+                        ELSE round(CAST(length(t)
+                               - length(regexp_replace(t, '[^\\w\\s]', '', 'g'))
+                               AS DOUBLE) / length(t), 4) END AS punct_ratio
+            FROM tok ORDER BY doc_id
+        """,
+        "interval_islands": """
+            WITH iv AS (
+              SELECT l_suppkey, l_shipdate AS s,
+                     l_shipdate + to_days(CAST(l_quantity AS INT)) AS e
+              FROM lineitem
+            ), flagged AS (
+              SELECT l_suppkey,
+                     CASE WHEN max(e) OVER (
+                            PARTITION BY l_suppkey ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                          ) >= s
+                          THEN 0 ELSE 1 END AS new_island
+              FROM iv
+            )
+            SELECT l_suppkey, count(*) AS n_intervals,
+                   CAST(sum(new_island) AS BIGINT) AS n_islands
+            FROM flagged GROUP BY l_suppkey ORDER BY l_suppkey
         """,
     }

@@ -106,5 +106,5 @@ class PipelineLayout:
 
     work_dir: str = "/tmp/hsearch_spark_work"
     stages: tuple[str, ...] = field(
-        default=("docs", "sigs", "bands", "candidates", "edges", "clusters")
+        default=("docs", "sigs", "candidates", "edges", "clusters")
     )

@@ -45,20 +45,70 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+_P = np.uint64(257)
+# 257 is odd → invertible in Z/2^64; the inverse makes the rolling hash O(n)
+_P_INV = np.uint64(pow(257, -1, 1 << 64))
+
+
+# power tables depend only on the constants → computed once per worker
+# process and grown geometrically (np.cumprod on uint64 is a scalar loop,
+# ~50ms/M — paying it per call would dominate the signature kernel)
+_pow_tab = np.array([1], dtype=np.uint64)
+_inv_tab = np.array([1], dtype=np.uint64)
+
+
+def _powers(n: int) -> tuple[np.ndarray, np.ndarray]:
+    global _pow_tab, _inv_tab
+    if _pow_tab.shape[0] < n:
+        m = max(n, 2 * _pow_tab.shape[0], 1 << 20)
+        pw = np.empty(m, dtype=np.uint64)
+        inv = np.empty(m, dtype=np.uint64)
+        pw[0] = 1
+        inv[0] = 1
+        np.cumprod(np.full(m - 1, _P, dtype=np.uint64), out=pw[1:])
+        np.cumprod(np.full(m - 1, _P_INV, dtype=np.uint64), out=inv[1:])
+        _pow_tab, _inv_tab = pw, inv
+    return _pow_tab[:n], _inv_tab[:n]
+
+
+def _prefix_tables(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Prefix state for O(n) window hashing of ANY width over `data`.
+
+    Returns (Spad, invpow):
+      Spad[i]   = Σ_{j<i} data[j]·257^j   (mod 2^64), length n+1
+      invpow[i] = 257^{-i}                (mod 2^64), length n
+    so the ascending-power polynomial hash of window [i, i+k) is
+    (Spad[i+k] - Spad[i]) · invpow[i] — one subtract + one multiply per
+    window, independent of k (vs. the naive k multiplies per window:
+    at anchor_gram=50 this is the difference between O(50n) and O(n)).
+    Shared by all window widths in the signature pass.
+    """
+    n = int(data.shape[0])
+    pw, inv = _powers(n)
+    spad = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(data.astype(np.uint64) * pw, out=spad[1:])
+    return spad, inv
+
+
+def _window_hashes(spad: np.ndarray, invpow: np.ndarray, k: int) -> np.ndarray:
+    """Mixed hashes of every k-byte window given prefix tables (O(n))."""
+    n = spad.shape[0] - 1
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    raw = (spad[k:] - spad[:-k]) * invpow[: n - k + 1]
+    return _mix64(raw)
+
+
 def _gram_hashes_u64(data: np.ndarray, k: int) -> np.ndarray:
     """64-bit mixed hashes of every length-k byte window (stride 1).
 
     data: uint8 array of the canonicalized utf-8 text.
     Returns uint64 array of length max(0, len(data)-k+1).
     """
-    n = int(data.shape[0])
-    if n < k:
+    if int(data.shape[0]) < k:
         return np.empty(0, dtype=np.uint64)
-    w = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    # polynomial hash base 257 with natural uint64 wraparound, then mix
-    powers = np.power(np.uint64(257), np.arange(k - 1, -1, -1, dtype=np.uint64))
-    raw = (w * powers).sum(axis=1, dtype=np.uint64)
-    return _mix64(raw)
+    spad, inv = _prefix_tables(data)
+    return _window_hashes(spad, inv, k)
 
 
 def shingle_hashes(text: str, k: int) -> np.ndarray:
@@ -96,33 +146,40 @@ def simhash64(shingles: np.ndarray) -> int:
     mix of its hash (hashes are < 2^32 here, so re-mix to fill 64 bits).
     Returns a Python int reinterpreted as signed int64 for Spark LongType.
     """
-    if shingles.shape[0] == 0:
+    n = shingles.shape[0]
+    if n == 0:
         return 0
     full = _mix64(shingles)
-    bits = (full[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-    votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-    fp = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            fp |= np.uint64(1) << np.uint64(i)
-    return int(fp.astype(np.int64).view(np.int64))
-
-
-def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
-    """Hash each band (r consecutive sig values) to one int64 bucket key.
-
-    Re-expression of the reference's string-concatenated E2LSH keys
-    (hclust/src/hclust/lsh.hpp:51-59) as fixed-width ints: polynomial
-    combine + mix, vectorized over all bands at once (the reference
-    rebuilds L tables serially, hclust.cpp:261-289).
-    """
-    m = np.ascontiguousarray(sig, dtype=np.int64).view(np.uint64).reshape(
-        bands, rows_per_band
+    # byte-wise unpack (C-speed) instead of 64 shift/mask passes;
+    # little-endian byte+bit order keeps global bit position 8b+i
+    bits = np.unpackbits(
+        full.view(np.uint8).reshape(n, 8), axis=1, bitorder="little"
     )
-    acc = np.zeros(bands, dtype=np.uint64)
-    for j in range(rows_per_band):
-        acc = acc * np.uint64(0x9E3779B97F4A7C15) + m[:, j]
-    return _mix64(acc).astype(np.int64)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - n
+    fp = np.packbits(votes > 0, bitorder="little").view(np.uint64)[0]
+    return int(fp.view(np.int64))
+
+
+def minhash_signature_packed(shingles: np.ndarray, seeds: np.ndarray) -> bytes:
+    """MinHash signature as num_perm little-endian uint32 values packed
+    into one `bytes` blob (num_perm*4 bytes) — the wire/storage format.
+
+    32-bit truncation of the 64-bit minima preserves the slot-equality
+    semantics MinHash needs (same min shingle → identical full value →
+    identical low 32 bits; different minima collide with p = 2^-32) at
+    half the bytes. At 10^12 docs the signature table and the
+    estimate-join shuffle are the two biggest byte movers — BinaryType
+    also avoids Arrow/Tungsten per-element list overhead entirely.
+    Banding happens JVM-side on this blob (signatures.explode_bands:
+    xxhash64 over 4·r-byte slices), so signatures never round-trip
+    through Python again after this function.
+    """
+    if shingles.shape[0] == 0:
+        return np.full(
+            seeds.shape[0], 0xFFFFFFFF, dtype=np.uint32
+        ).tobytes()
+    vals = _mix64(shingles[None, :] ^ seeds[:, None])
+    return vals.min(axis=1).astype(np.uint32).tobytes()
 
 
 def anchor_hashes(

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from hsearch_spark.config import DedupConfig
@@ -34,7 +35,11 @@ from hsearch_spark.functions import hashing as H
 SIG_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("sig", T.ArrayType(T.LongType(), False), False),
+        # num_perm uint32 minima packed little-endian (hashing.
+        # minhash_signature_packed): half the bytes of array<long> and no
+        # per-element Arrow/Tungsten overhead — the signature table is
+        # the biggest byte mover in the pipeline
+        T.StructField("sig", T.BinaryType(), False),
         T.StructField("simhash", T.LongType(), False),
         T.StructField("anchors", T.ArrayType(T.LongType(), False), False),
         T.StructField("n_shingles", T.IntegerType(), False),
@@ -66,10 +71,21 @@ def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
             ids = pdf["doc_id"].to_numpy()
             out_sig, out_sim, out_anc, out_n = [], [], [], []
             for text in pdf["text"].astype(str):
-                sh = H.shingle_hashes(text, k)
-                out_sig.append(H.minhash_signature(sh, seeds))
+                # per-doc slices stay L2-resident; both window widths share
+                # the doc's O(n) rolling-hash prefix tables and the
+                # process-cached power tables (hashing._powers) — measured
+                # faster than one concatenated batch buffer, whose ~10 MB
+                # temporaries fall out of cache
+                data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                spad, inv = H._prefix_tables(data)
+                sh = np.unique(
+                    H._window_hashes(spad, inv, k) >> np.uint64(32)
+                )
+                a = H._window_hashes(spad, inv, gram)
+                anc = np.unique(a[a % np.uint64(mod) == 0]).astype(np.int64)
+                out_sig.append(H.minhash_signature_packed(sh, seeds))
                 out_sim.append(H.simhash64(sh))
-                out_anc.append(H.anchor_hashes(text, gram, mod))
+                out_anc.append(anc)
                 out_n.append(sh.shape[0])
             yield pd.DataFrame(
                 {
@@ -84,41 +100,30 @@ def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(compute, SIG_SCHEMA)
 
 
-BAND_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("band_id", T.IntegerType(), False),
-        T.StructField("band_hash", T.LongType(), False),
-    ]
-)
-
-
 def explode_bands(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     """sigs -> bands(doc_id, band_id, band_hash): b rows per doc.
 
     The OR-amplification step (ref: L tables, hclust.cpp:261-289) —
-    all b band keys materialized in one pass.
+    all b band keys materialized in one pass, entirely JVM-side:
+    band i's key is xxhash64(i, 4·r-byte slice of the packed signature)
+    (the AND-construction: r minima concatenated into one key, ref
+    hclust/lsh.hpp:51-59). No Python round-trip — signatures are hashed
+    where they already live, inside whole-stage codegen.
     """
-    bands = config.bands
-    rows = config.rows_per_band
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            sig_mat = np.stack(pdf["sig"].to_numpy())  # (n, num_perm) int64
-            bh = np.stack(
-                [H.band_hashes(sig_mat[i], bands, rows) for i in range(n)]
-            )  # (n, bands)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(), bands),
-                    "band_id": np.tile(
-                        np.arange(bands, dtype=np.int32), n
-                    ),
-                    "band_hash": bh.reshape(-1),
-                }
+    r_bytes = config.rows_per_band * 4
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("band_id"),
+                F.xxhash64(
+                    F.lit(i),
+                    F.substring(F.col("sig"), i * r_bytes + 1, r_bytes),
+                ).alias("band_hash"),
             )
-
-    return sigs.select("doc_id", "sig").mapInPandas(compute, BAND_SCHEMA)
+            for i in range(config.bands)
+        ]
+    )
+    return (
+        sigs.select("doc_id", F.explode(entries).alias("e"))
+        .select("doc_id", "e.band_id", "e.band_hash")
+    )

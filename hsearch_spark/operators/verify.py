@@ -51,6 +51,14 @@ def exact_jaccard_pairs(
     ta = d.select(F.col("doc_id").alias("a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("b"), F.col("text").alias("text_b"))
     paired = candidates.join(ta, "a").join(tb, "b")
+    # AQE coalesces the (byte-small) join output to a couple of partitions,
+    # which would serialize the CPU-heavy re-shingling below onto 2-3
+    # Python workers; spread pairs across the cluster first — this stage
+    # is compute-bound, not byte-bound, so advisory-size coalescing is
+    # exactly wrong for it
+    paired = paired.repartition(
+        candidates.sparkSession.sparkContext.defaultParallelism, "a", "b"
+    )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -93,18 +101,24 @@ def minhash_estimate(candidates: DataFrame, sigs: DataFrame) -> DataFrame:
     """Signature-agreement Jaccard estimate (cheap prefilter / diagnostics).
 
     est = fraction of the num_perm signature slots that agree — the
-    unbiased MinHash estimator; zip_with + aggregate, all JVM-side.
+    unbiased MinHash estimator, over the packed-uint32 signature blobs
+    (one equality compare per 4 bytes in numpy; the whole candidate
+    batch is two frombuffer + one vectorized compare).
     """
+
+    @F.pandas_udf(T.DoubleType())
+    def est_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series(np.empty(0, dtype=np.float64))
+        xa = np.frombuffer(b"".join(a), dtype=np.uint32).reshape(len(a), -1)
+        xb = np.frombuffer(b"".join(b), dtype=np.uint32).reshape(len(b), -1)
+        return pd.Series((xa == xb).mean(axis=1))
+
     s = sigs.select("doc_id", "sig")
     sa = s.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
     sb = s.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
-    agree = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda u, v: (u == v).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
     return (
         candidates.join(sa, "a")
         .join(sb, "b")
-        .select("a", "b", (agree / F.size("sig_a")).alias("jaccard_est"))
+        .select("a", "b", est_udf("sig_a", "sig_b").alias("jaccard_est"))
     )

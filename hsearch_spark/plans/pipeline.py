@@ -67,10 +67,22 @@ def run_dedup(
         timings[name] = round(time.monotonic() - t0, 3)
         return df
 
+    # A real run reads Iceberg/parquet whose scan splits already match the
+    # cluster (spark.sql.files.maxPartitionBytes); a driver-created or
+    # coalesced input can arrive with fewer partitions than cores, which
+    # would starve every Arrow-UDF stage downstream. One-time fix here.
+    parallelism = spark.sparkContext.defaultParallelism
+    if pages.rdd.getNumPartitions() < parallelism:
+        pages = pages.repartition(parallelism)
+
     docs = stage("docs", lambda: extract_pages(pages))
     sigs = stage("sigs", lambda: add_signature_columns(docs, config))
-    bands = stage("bands", lambda: explode_bands(sigs, config))
-    cands = stage("candidates", lambda: candidate_pairs(bands, config))
+    # bands have exactly one consumer → fused into the candidates stage
+    # (no materialization of the b×|docs| exploded table)
+    cands = stage(
+        "candidates",
+        lambda: candidate_pairs(explode_bands(sigs, config), config),
+    )
 
     def build_edges() -> DataFrame:
         minhash_edges = verify_pairs(cands, sigs, docs, config, method="minhash")

@@ -36,7 +36,12 @@ def test_signature_udf_matches_numpy_oracle(spark):
     seeds = CFG.minhash_params()
     for i, t in enumerate(texts):
         sh = H.shingle_hashes(t, CFG.shingle_k)
-        assert list(sigs[i]["sig"]) == [int(x) for x in H.minhash_signature(sh, seeds)]
+        assert bytes(sigs[i]["sig"]) == H.minhash_signature_packed(sh, seeds)
+        # packed blob == truncated full 64-bit signature (same minima)
+        assert np.array_equal(
+            np.frombuffer(bytes(sigs[i]["sig"]), dtype=np.uint32),
+            H.minhash_signature(sh, seeds).view(np.uint64).astype(np.uint32),
+        )
         assert sigs[i]["simhash"] == H.simhash64(sh)
         assert sigs[i]["n_shingles"] == sh.shape[0]
     # identical text → identical signature
@@ -55,18 +60,24 @@ def test_signatures_partitioning_invariant(spark):
     assert s1 == s2
 
 
-def test_explode_bands_shape_and_oracle(spark):
-    texts = ["a reasonably long text for banding " * 4, "another text entirely " * 5]
+def test_explode_bands_shape_and_semantics(spark):
+    # docs 0 and 2 identical, doc 1 unrelated: identical signatures must
+    # agree on every band key; unrelated ones on none (w.h.p.)
+    texts = [
+        "a reasonably long text for banding " * 4,
+        "another text entirely " * 5,
+        "a reasonably long text for banding " * 4,
+    ]
     sigs = add_signature_columns(_docs(spark, texts), CFG)
-    bands = explode_bands(sigs, CFG)
-    rows = bands.collect()
+    rows = explode_bands(sigs, CFG).collect()
     assert len(rows) == len(texts) * CFG.bands
-    seeds = CFG.minhash_params()
-    sh = H.shingle_hashes(texts[0], CFG.shingle_k)
-    expected = H.band_hashes(
-        H.minhash_signature(sh, seeds), CFG.bands, CFG.rows_per_band
-    )
-    got = {
-        r["band_id"]: r["band_hash"] for r in rows if r["doc_id"] == 0
+    by_doc = {
+        d: {r["band_id"]: r["band_hash"] for r in rows if r["doc_id"] == d}
+        for d in range(3)
     }
-    assert [got[i] for i in range(CFG.bands)] == [int(x) for x in expected]
+    assert sorted(by_doc[0]) == list(range(CFG.bands))  # all band ids present
+    assert by_doc[0] == by_doc[2]
+    assert all(by_doc[0][i] != by_doc[1][i] for i in range(CFG.bands))
+    # band keys are salted by band_id: same slice value in different bands
+    # must not collide into the same bucket key space
+    assert len({h for h in by_doc[0].values()}) == CFG.bands
