@@ -55,6 +55,15 @@ def _time_dedup(
 
     pages, _ = pages_dataframe(spark, n_docs=n_docs, seed=seed)
     pages = pages.localCheckpoint()  # exclude fixture generation from timing
+
+    def _persistent_ids() -> set[int]:
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    keep = _persistent_ids()  # the input; must survive across reps
     best, n, h = float("inf"), 0, 0
     for _ in range(reps):
         t0 = time.monotonic()
@@ -67,6 +76,15 @@ def _time_dedup(
         ).collect()[0]
         best = min(best, time.monotonic() - t0)
         n, h = int(row["n"]), int(row["h"])
+        # drop this rep's checkpointed stages so repeated runs don't evict
+        # each other out of block-manager memory (skews the next rep)
+        jsc = spark.sparkContext._jsc.sc()
+        m = jsc.getPersistentRDDs()
+        it = m.keysIterator()
+        while it.hasNext():
+            rid = it.next()
+            if rid not in keep:
+                m.apply(rid).unpersist(False)
     return best, n, h
 
 
@@ -116,35 +134,38 @@ def scaling() -> None:
     (N vs 4N stand-in), plus the determinism invariant: byte-identical
     cluster assignments at both parallelism levels."""
     n_docs = int(os.environ.get("SCALING_N_DOCS", "200000"))
+    lo, hi = (
+        int(c) for c in os.environ.get("SCALING_CORES", "8,32").split(",")
+    )
     results = {}
-    for cores in (8, 32):
+    for cores in (lo, hi):
         spark = build_session(app_name=f"hsearch_scaling_{cores}", cores=cores)
         _time_dedup(spark, 2000)  # warmup (JIT, shuffle dirs)
         elapsed, n, h = _time_dedup(spark, n_docs, seed=43, reps=2)
         results[cores] = {"sec": elapsed, "docs_per_sec": n / elapsed, "hash": h}
         spark.stop()
         print(f"local[{cores}]: {elapsed:.1f}s  {n / elapsed:.1f} docs/sec")
-    assert results[8]["hash"] == results[32]["hash"], (
+    assert results[lo]["hash"] == results[hi]["hash"], (
         "cluster assignments differ across parallelism levels"
     )
-    print("assignment hash identical at local[8] and local[32]")
-    eff = (results[8]["sec"] / results[32]["sec"]) / 4
-    print(f"scaling efficiency (8→32 cores): {eff:.3f}")
+    print(f"assignment hash identical at local[{lo}] and local[{hi}]")
+    eff = (results[lo]["sec"] / results[hi]["sec"]) / (hi / lo)
+    print(f"scaling efficiency ({lo}→{hi} cores): {eff:.3f}")
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     row = (
-        f"| {stamp} | {n_docs} | "
-        f"{results[8]['docs_per_sec']:.1f} | {results[32]['docs_per_sec']:.1f} | "
+        f"| {stamp} | {n_docs} | local[{lo}]→local[{hi}] | "
+        f"{results[lo]['docs_per_sec']:.1f} | {results[hi]['docs_per_sec']:.1f} | "
         f"{eff:.3f} |\n"
     )
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md")
     header = (
         "# BENCH — measured numbers\n\n"
         "## Scaling (north rule: efficiency >= 0.8 at N -> 4N)\n\n"
-        "Same dedup job, same input, local[8] vs local[32]\n"
+        "Same dedup job, same input, local[N] vs local[4N]\n"
         "(sandbox stand-in for N vs 4N executors); "
-        "efficiency = (T_8/T_32)/4.\n\n"
-        "| run (UTC) | docs | docs/sec @8 | docs/sec @32 | efficiency |\n"
-        "|---|---|---|---|---|\n"
+        "efficiency = (T_N/T_4N)/4.\n\n"
+        "| run (UTC) | docs | cores | docs/sec @N | docs/sec @4N | efficiency |\n"
+        "|---|---|---|---|---|---|\n"
     )
     if not os.path.exists(path):
         with open(path, "w") as f:

@@ -24,7 +24,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -66,18 +66,35 @@ def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
     gram = config.anchor_gram
     mod = config.anchor_mod
 
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            ids = pdf["doc_id"].to_numpy()
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            txt = batch.column(1)
+            n_rows = len(txt)
+            # read the UTF-8 bytes straight out of the Arrow string
+            # buffers — no pandas materialization, no per-row Python str,
+            # no .encode() copies. offsets dtype depends on string vs
+            # large_string (Spark's useLargeVarTypes).
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(txt.type) else np.int32
+            )
+            bufs = txt.buffers()
+            offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+                txt.offset : txt.offset + n_rows + 1
+            ]
+            data = (
+                np.frombuffer(bufs[2], dtype=np.uint8)
+                if bufs[2] is not None
+                else np.empty(0, dtype=np.uint8)
+            )
             out_sig, out_sim, out_anc, out_n = [], [], [], []
-            for text in pdf["text"].astype(str):
+            for i in range(n_rows):
                 # per-doc slices stay L2-resident; both window widths share
                 # the doc's O(n) rolling-hash prefix tables and the
                 # process-cached power tables (hashing._powers) — measured
-                # faster than one concatenated batch buffer, whose ~10 MB
-                # temporaries fall out of cache
-                data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-                spad, inv = H._prefix_tables(data)
+                # faster than hashing one concatenated batch buffer, whose
+                # ~10 MB temporaries fall out of cache
+                spad, inv = H._prefix_tables(data[offsets[i] : offsets[i + 1]])
                 sh = np.unique(
                     H._window_hashes(spad, inv, k) >> np.uint64(32)
                 )
@@ -87,17 +104,18 @@ def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
                 out_sim.append(H.simhash64(sh))
                 out_anc.append(anc)
                 out_n.append(sh.shape[0])
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "sig": out_sig,
-                    "simhash": pd.array(out_sim, dtype="int64"),
-                    "anchors": out_anc,
-                    "n_shingles": pd.array(out_n, dtype="int32"),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(out_sig, type=pa.binary()),
+                    pa.array(out_sim, type=pa.int64()),
+                    pa.array(out_anc, type=pa.list_(pa.int64())),
+                    pa.array(out_n, type=pa.int32()),
+                ],
+                names=["doc_id", "sig", "simhash", "anchors", "n_shingles"],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(compute, SIG_SCHEMA)
+    return docs.select("doc_id", "text").mapInArrow(compute, SIG_SCHEMA)
 
 
 def explode_bands(sigs: DataFrame, config: DedupConfig) -> DataFrame:

@@ -28,7 +28,7 @@ over the sorted suffix array (A4) is exactly the groupBy(anchor) here.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hsearch_spark.config import DedupConfig
@@ -48,11 +48,21 @@ def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     The star-R cap below remains as a backstop for df ≤ df_max buckets.
     """
     anchors = sigs.select("doc_id", F.explode("anchors").alias("anchor"))
+    # document-frequency gate BEFORE building arrays: a boilerplate anchor
+    # shared by 10^4+ pages would otherwise collect_list a multi-MB array
+    # per anchor — humongous allocations that stall the whole JVM behind
+    # the GCLocker at high task concurrency (observed: 32-core runs slower
+    # than 8-core). The window count shares the groupBy's shuffle
+    # partitioning, so the gate costs a sort, not an extra exchange, and
+    # every surviving array is bounded by anchor_df_max.
+    df_count = F.count("*").over(Window.partitionBy("anchor"))
+    anchors = anchors.withColumn("df", df_count).where(
+        (F.col("df") > 1) & (F.col("df") <= config.anchor_df_max)
+    )
     grouped = anchors.groupBy("anchor").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
     n = F.size("ids")
-    grouped = grouped.where((n > 1) & (n <= config.anchor_df_max))
     pair_structs = F.flatten(
         F.transform(
             F.slice("ids", 1, n - 1),

@@ -43,7 +43,19 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode: one JVM holds scan buffers, shuffle state AND every
+        # localCheckpoint'd stage — size the heap like driver+executor
+        # combined, not like a driver
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # Arrow batches pin buffers in JNI critical sections; at high task
+        # concurrency large allocations can spin on the GCLocker (observed
+        # as 32-core runs stalling behind 8-core ones). More retries +
+        # larger G1 regions (fewer humongous allocations) defuse it.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=64 -XX:G1HeapRegionSize=32m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

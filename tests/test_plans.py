@@ -71,14 +71,19 @@ def test_candidate_pairs_shuffle_budget(spark):
 
 
 def test_substring_edges_shuffle_budget(spark):
-    """anchor groupBy + pair groupBy = exactly two Exchanges, no sort."""
+    """anchor groupBy + pair groupBy = exactly two Exchanges. The df-gate
+    window adds ONE sort that shares the anchor groupBy's partitioning
+    (no third exchange) — the price of bounding collect_list arrays by
+    anchor_df_max before they are built."""
+    import re
+
     sigs = spark.createDataFrame(
         [(i, [i % 5, (i + 1) % 5]) for i in range(50)],
         "doc_id long, anchors array<long>",
     )
     edges = substring_edges(sigs, DedupConfig())
     assert n_exchanges(edges) == 2
-    assert "Sort " not in plan_str(edges)
+    assert len(re.findall(r"^\(\d+\) Sort", plan_str(edges), re.M)) == 1
 
 
 def test_small_dim_join_broadcasts(spark):
