@@ -548,6 +548,61 @@ def q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_label_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3+S10: per-cluster (label) stats — size, radius (max distance
+    to centroid), mean distance (ref cluster radius: hclust.cpp:216-222;
+    per-cluster reporting: centerDistanceSmapling.cpp:189-200)."""
+    e = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    per_dim = (
+        e.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    centers = per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("c")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        e.join(F.broadcast(centers), "label")
+        .select("label", dist.alias("d"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.max("d"), 4).alias("radius"),
+            F.round(F.avg("d"), 4).alias("mean_dist"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_m8_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: M8-style formatted hit export — fixed-precision text columns
+    (ref PrintM8: hash_search.cpp:1288-1308, e-value formatting
+    util.hpp:269-293) over the embedding near-dup pairs."""
+    pairs = q_embedding_near_dup(spark, sf_dir)
+    return pairs.select(
+        F.concat_ws(
+            "\t",
+            F.col("a").cast("string"),
+            F.col("b").cast("string"),
+            F.format_string("%.4f", F.col("cos_sim")),
+            F.format_string("%.1e", 1.0 - F.col("cos_sim")),
+        ).alias("m8_line")
+    ).orderBy("m8_line")
+
+
 # --------------------------------------------------------------------------
 # non-SQL-expressible (rows-only) — seeded LSH internals
 # --------------------------------------------------------------------------
@@ -647,6 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest_center": q_nearest_center,
         "quality_scores": q_quality_scores,
         "interval_islands": q_interval_islands,
+        "label_cluster_stats": q_label_cluster_stats,
+        "m8_export": q_m8_export,
         # rows-only (seeded LSH internals; no SQL equivalent)
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -934,6 +991,41 @@ def oracle_sql() -> dict[str, str]:
                                - length(regexp_replace(t, '[^\\w\\s]', '', 'g'))
                                AS DOUBLE) / length(t), 4) END AS punct_ratio
             FROM tok ORDER BY doc_id
+        """,
+        "label_cluster_stats": """
+            WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+            ), dims AS (
+              SELECT label, i, avg(v[i]) AS m
+              FROM e CROSS JOIN (
+                SELECT unnest(range(1,
+                  (SELECT len(embedding) FROM embeddings LIMIT 1) + 1)) AS i
+              )
+              GROUP BY label, i
+            ), centers AS (
+              SELECT label, list(m ORDER BY i) AS c FROM dims GROUP BY label
+            )
+            SELECT e.label, count(*) AS n_members,
+                   round(max(list_distance(e.v, c.c)), 4) AS radius,
+                   round(avg(list_distance(e.v, c.c)), 4) AS mean_dist
+            FROM e JOIN centers c USING (label)
+            GROUP BY e.label ORDER BY e.label
+        """,
+        "m8_export": """
+            SELECT x.vec_id || chr(9) || y.vec_id || chr(9)
+                   || printf('%.4f', round(list_cosine_similarity(
+                        CAST(x.embedding AS DOUBLE[]),
+                        CAST(y.embedding AS DOUBLE[])), 4)) || chr(9)
+                   || printf('%.1e', 1.0 - round(list_cosine_similarity(
+                        CAST(x.embedding AS DOUBLE[]),
+                        CAST(y.embedding AS DOUBLE[])), 4))
+                     AS m8_line
+            FROM embeddings x, embeddings y
+            WHERE x.vec_id < y.vec_id
+              AND list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])) >= 0.4
+            ORDER BY m8_line
         """,
         "interval_islands": """
             WITH iv AS (
