@@ -61,7 +61,8 @@ def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
     (operators/verify.py). At 10^12 docs, persisting shingle arrays
     would dominate total storage and every downstream shuffle.
     """
-    seeds = config.minhash_params()
+    num_perm = config.num_perm
+    salt = config.minhash_salt()
     k = config.shingle_k
     gram = config.anchor_gram
     mod = config.anchor_mod
@@ -100,7 +101,9 @@ def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
                 )
                 a = H._window_hashes(spad, inv, gram)
                 anc = np.unique(a[a % np.uint64(mod) == 0]).astype(np.int64)
-                out_sig.append(H.minhash_signature_packed(sh, seeds))
+                out_sig.append(
+                    H.minhash_signature_packed(sh, num_perm, salt)
+                )
                 out_sim.append(H.simhash64(sh))
                 out_anc.append(anc)
                 out_n.append(sh.shape[0])

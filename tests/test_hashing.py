@@ -14,7 +14,8 @@ from hsearch_spark.functions import hashing as H
 
 
 CFG = DedupConfig()
-SEEDS = CFG.minhash_params()
+SALT = CFG.minhash_salt()
+NP = CFG.num_perm
 
 
 def test_shingle_hashes_deterministic_and_32bit():
@@ -33,12 +34,15 @@ def test_shingle_hashes_short_text_empty():
     assert H.shingle_hashes("", 5).shape == (0,)
 
 
-def test_minhash_params_deterministic():
-    s2 = DedupConfig().minhash_params()
-    assert np.array_equal(SEEDS, s2)
-    # different seed → different family
-    s3 = DedupConfig(seed=7).minhash_params()
-    assert not np.array_equal(SEEDS, s3)
+def test_minhash_salt_deterministic():
+    assert DedupConfig().minhash_salt() == SALT
+    # different seed → different permutation
+    assert DedupConfig(seed=7).minhash_salt() != SALT
+    s = H.shingle_hashes("some document text to hash " * 10, 5)
+    assert not np.array_equal(
+        H.minhash_signature(s, NP, SALT),
+        H.minhash_signature(s, NP, DedupConfig(seed=7).minhash_salt()),
+    )
 
 
 def test_minhash_estimates_jaccard():
@@ -50,8 +54,8 @@ def test_minhash_estimates_jaccard():
     )
     sa, sb = np.unique(base), np.unique(other)
     true_j = H.jaccard(sa, sb)
-    sig_a = H.minhash_signature(sa, SEEDS)
-    sig_b = H.minhash_signature(sb, SEEDS)
+    sig_a = H.minhash_signature(sa, NP, SALT)
+    sig_b = H.minhash_signature(sb, NP, SALT)
     est = (sig_a == sig_b).mean()
     assert abs(est - true_j) < 0.12  # 128 perms → se ~ sqrt(j(1-j)/128) ≈ 0.04
 
@@ -59,7 +63,8 @@ def test_minhash_estimates_jaccard():
 def test_minhash_identical_sets_identical_sigs():
     s = H.shingle_hashes("hello world this is a doc " * 20, 5)
     assert np.array_equal(
-        H.minhash_signature(s, SEEDS), H.minhash_signature(s.copy(), SEEDS)
+        H.minhash_signature(s, NP, SALT),
+        H.minhash_signature(s.copy(), NP, SALT),
     )
 
 
@@ -78,16 +83,28 @@ def test_simhash_close_for_similar_far_for_different():
     assert ham12 + 8 < ham13
 
 
-def test_minhash_packed_matches_truncated_full():
+def test_minhash_packed_matches_unpacked():
     s = H.shingle_hashes("a document with enough text to shingle nicely", 5)
-    packed = H.minhash_signature_packed(s, SEEDS)
+    packed = H.minhash_signature_packed(s, NP, SALT)
     assert len(packed) == CFG.num_perm * 4
-    full = H.minhash_signature(s, SEEDS).view(np.uint64).astype(np.uint32)
-    assert np.array_equal(np.frombuffer(packed, dtype=np.uint32), full)
-    # empty set: all-ones sentinel, consistent with the int64-max of the
-    # unpacked form (low 32 bits of 2^63-1)
-    empty = H.minhash_signature_packed(np.empty(0, dtype=np.uint64), SEEDS)
+    assert np.array_equal(
+        np.frombuffer(packed, dtype=np.uint32),
+        H.minhash_signature(s, NP, SALT),
+    )
+    # empty set: all-ones sentinel
+    empty = H.minhash_signature_packed(np.empty(0, dtype=np.uint64), NP, SALT)
     assert np.all(np.frombuffer(empty, dtype=np.uint32) == 0xFFFFFFFF)
+
+
+def test_minhash_densification_small_sets():
+    # fewer shingles than slots: every slot must still be filled, pure
+    # function of the set, and two docs sharing their only shingles agree
+    tiny = H.shingle_hashes("abcdefgh", 5)  # 4 shingles
+    sig = H.minhash_signature(tiny, NP, SALT)
+    assert sig.shape == (NP,)
+    assert np.array_equal(sig, H.minhash_signature(tiny.copy(), NP, SALT))
+    other = H.shingle_hashes("zyxwvuts", 5)
+    assert not np.array_equal(sig, H.minhash_signature(other, NP, SALT))
 
 
 def test_anchor_hashes_alignment_free():

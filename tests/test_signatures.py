@@ -33,14 +33,15 @@ def test_signature_udf_matches_numpy_oracle(spark):
         r["doc_id"]: r
         for r in add_signature_columns(_docs(spark, texts), CFG).collect()
     }
-    seeds = CFG.minhash_params()
+    salt = CFG.minhash_salt()
     for i, t in enumerate(texts):
         sh = H.shingle_hashes(t, CFG.shingle_k)
-        assert bytes(sigs[i]["sig"]) == H.minhash_signature_packed(sh, seeds)
-        # packed blob == truncated full 64-bit signature (same minima)
+        assert bytes(sigs[i]["sig"]) == H.minhash_signature_packed(
+            sh, CFG.num_perm, salt
+        )
         assert np.array_equal(
             np.frombuffer(bytes(sigs[i]["sig"]), dtype=np.uint32),
-            H.minhash_signature(sh, seeds).view(np.uint64).astype(np.uint32),
+            H.minhash_signature(sh, CFG.num_perm, salt),
         )
         assert sigs[i]["simhash"] == H.simhash64(sh)
         assert sigs[i]["n_shingles"] == sh.shape[0]
@@ -62,11 +63,15 @@ def test_signatures_partitioning_invariant(spark):
 
 def test_explode_bands_shape_and_semantics(spark):
     # docs 0 and 2 identical, doc 1 unrelated: identical signatures must
-    # agree on every band key; unrelated ones on none (w.h.p.)
+    # agree on every band key; unrelated ones on none (w.h.p.). Texts are
+    # long enough (shingles ≫ num_perm bins) that OPH densification never
+    # triggers — tiny docs with a few shared shingles CAN share a
+    # densified band (they become candidates and exact-verify rejects
+    # them; cheapness, not correctness).
     texts = [
-        "a reasonably long text for banding " * 4,
-        "another text entirely " * 5,
-        "a reasonably long text for banding " * 4,
+        "a reasonably long text for banding purposes with many words " * 30,
+        "zq zx qv jk wy fb gh pm dn rs tl cu ei oa different corpus " * 30,
+        "a reasonably long text for banding purposes with many words " * 30,
     ]
     sigs = add_signature_columns(_docs(spark, texts), CFG)
     rows = explode_bands(sigs, CFG).collect()
