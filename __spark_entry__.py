@@ -110,6 +110,71 @@ def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dup_pairs_df(_docs(spark, sf_dir))
 
 
+def q_exact_dup_truncfp_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-vacuous exact-dup evidence (O6/U1): dup groups on a TRUNCATED
+    fingerprint (first 2 hex chars of md5 → 256 buckets). With >256 docs
+    the pigeonhole guarantees >0 groups, so this row can never pass
+    vacuously — unlike exact_dup_groups, which is legitimately empty on
+    the driver corpus (no byte-identical docs after canonicalization)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 2).alias(
+                "fp_prefix"
+            )
+        )
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("fp_prefix")
+    )
+
+
+def q_tsv_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 TSV scan + projection (ref NOGCOG.cpp:14-42): round-trip the
+    nation table through a tab-separated file, read it back with an
+    explicit schema, project 2 of 3 columns and filter. The oracle reads
+    the parquet directly — proving the TSV scan is lossless."""
+    import hashlib
+    import tempfile
+
+    n = _read(spark, sf_dir, "nation")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "hsearch_tsv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    n.select("n_nationkey", "n_name", "n_regionkey").coalesce(1).write.mode(
+        "overwrite"
+    ).option("sep", "\t").csv(out)
+    tsv = spark.read.schema(
+        "n_nationkey long, n_name string, n_regionkey long"
+    ).option("sep", "\t").csv(out)
+    return (
+        tsv.where(F.col("n_regionkey") == 1)
+        .select("n_nationkey", F.upper("n_name").alias("name_u"))
+        .orderBy("n_nationkey")
+    )
+
+
+def q_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5-class semi-structured parse (ref STOCKHOLM.cpp:5-50 multi-record
+    text parse): extract a typed field from the events.props JSON-string
+    column with a schema'd from_json (JVM-side, no Python), aggregate per
+    event_type."""
+    e = _read(spark, sf_dir, "events")
+    k = F.from_json("props", "k long")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: multi-aggregate scan (TPC-H Q1 shape)."""
     li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
@@ -374,23 +439,21 @@ def q_union_eval_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2: element-wise centroid (mean vector) per label group."""
+    """A2: element-wise centroid (mean vector) per label group,
+    emitted as exploded (label, pos, centroid_val) rows — scalar columns
+    only, because the driver's canonicalizer cannot sort/hash array
+    cells (ref centroid accumulation: hclust.cpp:88-155)."""
     e = _read(spark, sf_dir, "embeddings")
     per_dim = (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(F.avg(F.col("v").cast("double")).alias("m"))
     )
-    return (
-        per_dim.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: F.round(s["m"], 4),
-            ).alias("centroid")
-        )
-        .orderBy("label")
-    )
+    return per_dim.select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.round("m", 4).alias("centroid_val"),
+    ).orderBy("label", "pos")
 
 
 def q_doc_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -610,7 +673,9 @@ def q_m8_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over documents-as-media (rows-only: sha1 +
-    histogram features aren't DuckDB-expressible)."""
+    histogram features aren't DuckDB-expressible). The feature vector is
+    emitted as a fixed-precision CSV string: the driver canonicalizer
+    cannot sort/hash array cells."""
     from hsearch_spark.functions.multimodal import extract_media_features
 
     media = _docs(spark, sf_dir).select(
@@ -618,7 +683,16 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text").alias("media_type"),
         F.col("text").cast("binary").alias("payload"),
     )
-    return extract_media_features(media)
+    feats = extract_media_features(media)
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "content_sha1",
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_string("%.6f", x))
+        ).alias("feature_csv"),
+    )
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -680,6 +754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dup_groups": q_exact_dup_groups,
         "exact_dup_pairs": q_exact_dup_pairs,
+        "exact_dup_truncfp_groups": q_exact_dup_truncfp_groups,
+        "tsv_scan_projection": q_tsv_scan_projection,
+        "json_field_extract": q_json_field_extract,
         "pricing_summary": q_pricing_summary,
         "conditional_agg": q_conditional_agg,
         "min_by_supplier": q_min_by_supplier,
@@ -740,6 +817,33 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed k JOIN mins m USING (fp)
             WHERE k.doc_id <> m.a
         """,
+        "exact_dup_truncfp_groups": f"""
+            SELECT substr(md5({_CANON}), 1, 2) AS fp_prefix,
+                   count(*) AS n_docs,
+                   min(doc_id) AS keep_doc_id
+            FROM documents
+            GROUP BY 1 HAVING count(*) > 1
+            ORDER BY fp_prefix
+        """,
+        "tsv_scan_projection": """
+            SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+                   upper(n_name) AS name_u
+            FROM nation WHERE n_regionkey = 1
+            ORDER BY n_nationkey
+        """,
+        "json_field_extract": """
+            WITH parsed AS (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k
+            FROM parsed GROUP BY event_type ORDER BY event_type
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -796,7 +900,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(new_session) AS n_sessions,
+            SELECT user_id,
+                   CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id ORDER BY user_id
         """,
@@ -817,9 +922,9 @@ def oracle_sql() -> dict[str, str]:
               FROM pred p FULL OUTER JOIN truth t
                 ON p.a = t.a AND p.b = t.b
             )
-            SELECT sum(CASE WHEN predicted AND actual THEN 1 ELSE 0 END) AS tp,
-                   sum(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END) AS fp,
-                   sum(CASE WHEN NOT predicted AND actual THEN 1 ELSE 0 END) AS fn
+            SELECT CAST(sum(CASE WHEN predicted AND actual THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN NOT predicted AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn
             FROM conf
         """,
         "distinct_tokens_per_lang": f"""
@@ -881,7 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_per_lang": f"""
             WITH d AS (SELECT lang, {_CANON} AS t FROM documents)
             SELECT lang, count(*) AS n_docs,
-                   sum(length(string_split(t, ' '))) AS total_tokens,
+                   CAST(sum(length(string_split(t, ' '))) AS BIGINT) AS total_tokens,
                    round(avg(length(string_split(t, ' '))), 4) AS avg_tokens,
                    round(avg(length(t)), 4) AS avg_chars
             FROM d GROUP BY lang ORDER BY lang
@@ -905,13 +1010,9 @@ def oracle_sql() -> dict[str, str]:
                      generate_subscripts(embedding, 1) - 1 AS pos,
                      unnest(CAST(embedding AS DOUBLE[])) AS v
               FROM embeddings
-            ), means AS (
-              SELECT label, pos, avg(v) AS m
-              FROM per_dim GROUP BY label, pos
             )
-            SELECT label,
-                   array_agg(round(m, 4) ORDER BY pos) AS centroid
-            FROM means GROUP BY label ORDER BY label
+            SELECT label, pos, round(avg(v), 4) AS centroid_val
+            FROM per_dim GROUP BY label, pos ORDER BY label, pos
         """,
         "doc_variants": f"""
             WITH d AS (SELECT doc_id, {_CANON} AS t FROM documents),
@@ -930,7 +1031,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT lang, count(*) AS n_docs,
-                   sum(n_toks) AS total_tokens,
+                   CAST(sum(n_toks) AS BIGINT) AS total_tokens,
                    max(n_toks) AS max_tokens
             FROM d GROUP BY lang ORDER BY lang
         """,

@@ -72,6 +72,13 @@ def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
             ids = batch.column(0)
             txt = batch.column(1)
             n_rows = len(txt)
+            # Null slots would otherwise be hashed from whatever bytes
+            # their (spec-unspecified) offsets span — the coalesce('')
+            # upstream makes this unreachable; assert as a backstop.
+            assert txt.null_count == 0, (
+                "null text reached the signature kernel; "
+                "add_signature_columns coalesces text to '' upstream"
+            )
             # read the UTF-8 bytes straight out of the Arrow string
             # buffers — no pandas materialization, no per-row Python str,
             # no .encode() copies. offsets dtype depends on string vs
@@ -118,7 +125,12 @@ def add_signature_columns(docs: DataFrame, config: DedupConfig) -> DataFrame:
                 names=["doc_id", "sig", "simhash", "anchors", "n_shingles"],
             )
 
-    return docs.select("doc_id", "text").mapInArrow(compute, SIG_SCHEMA)
+    # coalesce JVM-side: guarantees null_count == 0 in every Arrow batch
+    # (null slots have producer-dependent offset contents — hashing them
+    # would make signatures nondeterministic across Arrow producers)
+    return docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).mapInArrow(compute, SIG_SCHEMA)
 
 
 def explode_bands(sigs: DataFrame, config: DedupConfig) -> DataFrame:
