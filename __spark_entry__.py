@@ -175,6 +175,48 @@ def q_json_field_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stockholm_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 multi-record semi-structured parse (ref STOCKHOLM.cpp:5-50):
+    a STOCKHOLM-shaped record file (#=GF metadata / member lines / `//`
+    terminators) synthesized deterministically from the supplier table
+    (setup only), then parsed back by the distributed per-file parser
+    and aggregated per record. Oracle aggregates supplier directly —
+    proving the parse is lossless."""
+    import hashlib
+    import tempfile
+
+    from hsearch_spark.sources.records import read_tagged_records
+
+    sup = (
+        _read(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_nationkey", "s_suppkey")
+        .collect()
+    )
+    lines, cur = [], None
+    for r in sup:
+        if r["s_nationkey"] != cur:
+            if cur is not None:
+                lines.append("//")
+            cur = r["s_nationkey"]
+            lines.append(f"#=GF ID nation_{cur}")
+        lines.append(f"sup_{r['s_suppkey']} {r['s_name']}")
+    lines.append("//")
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        "hsearch_sto_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "records.sto"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    parsed = read_tagged_records(spark, out_dir)
+    return (
+        parsed.groupBy("rec_id")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("rec_id")
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: multi-aggregate scan (TPC-H Q1 shape)."""
     li = _read(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= "1998-09-01")
@@ -523,6 +565,33 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edit_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3/V4 analog: exact edit-distance scoring of an already-blocked
+    candidate pair set (pairs sharing (lang, n_chars)) — ranked near-dup
+    review scores, not just a threshold gate (ref banded alignment,
+    hash_search.cpp:661-948). Byte-level DP == DuckDB's char-level
+    levenshtein on this ASCII corpus."""
+    from hsearch_spark.operators.align import edit_similarity_pairs
+
+    raw = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    pairs = (
+        raw.alias("x")
+        .join(
+            raw.alias("y"),
+            on=[
+                F.col("x.lang") == F.col("y.lang"),
+                F.col("x.n_chars") == F.col("y.n_chars"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+            ],
+        )
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    out = edit_similarity_pairs(pairs, _docs(spark, sf_dir))
+    return out.select(
+        "a", "b", "edit_distance", F.round("edit_sim", 4).alias("edit_sim")
+    )
+
+
 def q_nearest_center(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 probe join: per-label centroids (small) broadcast against every
     vector; min_by keeps the nearest (A5, kmer_search.cpp:113-120)."""
@@ -757,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_truncfp_groups": q_exact_dup_truncfp_groups,
         "tsv_scan_projection": q_tsv_scan_projection,
         "json_field_extract": q_json_field_extract,
+        "stockholm_parse": q_stockholm_parse,
         "pricing_summary": q_pricing_summary,
         "conditional_agg": q_conditional_agg,
         "min_by_supplier": q_min_by_supplier,
@@ -776,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_variants": q_doc_variants,
         "salted_token_totals": q_salted_token_totals,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "edit_similarity_pairs": q_edit_similarity_pairs,
         "nearest_center": q_nearest_center,
         "quality_scores": q_quality_scores,
         "interval_islands": q_interval_islands,
@@ -830,6 +901,11 @@ def oracle_sql() -> dict[str, str]:
                    upper(n_name) AS name_u
             FROM nation WHERE n_regionkey = 1
             ORDER BY n_nationkey
+        """,
+        "stockholm_parse": """
+            SELECT 'nation_' || CAST(s_nationkey AS VARCHAR) AS rec_id,
+                   count(*) AS n_members
+            FROM supplier GROUP BY s_nationkey ORDER BY rec_id
         """,
         "json_field_extract": """
             WITH parsed AS (
@@ -1052,6 +1128,22 @@ def oracle_sql() -> dict[str, str]:
             FROM g x JOIN g y ON x.doc_id < y.doc_id
             WHERE CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(x.grams, y.grams))) >= 0.5
+        """,
+        "edit_similarity_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, lang, n_chars, {_CANON} AS t FROM documents
+            ), pred AS (
+              SELECT x.doc_id AS a, y.doc_id AS b, x.t AS tx, y.t AS ty
+              FROM d x JOIN d y
+                ON x.lang = y.lang AND x.n_chars = y.n_chars
+               AND x.doc_id < y.doc_id
+            )
+            SELECT a, b,
+                   CAST(levenshtein(tx, ty) AS BIGINT) AS edit_distance,
+                   round(1.0 - levenshtein(tx, ty)
+                         / CAST(greatest(length(tx), length(ty)) AS DOUBLE),
+                         4) AS edit_sim
+            FROM pred
         """,
         "nearest_center": """
             WITH e AS (

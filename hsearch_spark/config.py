@@ -27,6 +27,51 @@ import numpy as np
 MERSENNE_61 = (1 << 61) - 1
 
 
+def catch_probability(jaccard: float, bands: int, rows_per_band: int) -> float:
+    """P(pair becomes an LSH candidate | true Jaccard j) under the
+    b-bands × r-rows AND/OR construction: 1 - (1 - j^r)^b.
+
+    Exact under independent MinHash slots; with the OPH scheme a band's
+    r bins come from ONE permutation (correlated, plus densification
+    noise below ~900 shingles), so treat this as the design curve, not a
+    guarantee — the measured numbers are what count (recall 1.0 vs the
+    exact-Jaccard oracle on the 300-5000-doc planted corpora,
+    tests/test_pipeline.py, and the +75%% candidate-FP measurement in
+    the minhash_scheme note below)."""
+    return 1.0 - (1.0 - jaccard**rows_per_band) ** bands
+
+
+def bands_rows_for(
+    threshold: float, num_perm: int, min_catch: float = 0.99
+) -> tuple[int, int]:
+    """(b, r) selection from a target Jaccard threshold — the programmatic
+    analog of the reference's K/L derivation from its p1/p2 operating
+    points (hclust/src/hclust/motif_both_points.cpp:374-382).
+
+    Picks the LARGEST r (steepest S-curve → fewest background-similarity
+    candidates) whose b = num_perm // r still catches a true
+    `threshold`-pair with probability >= min_catch. Returns (b, r) with
+    b*r <= num_perm; callers should set num_perm = b*r.
+
+    bands_rows_for(0.8, 126) == (21, 6) — the pinned default config.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    best: tuple[int, int] | None = None
+    for r in range(1, num_perm + 1):
+        b = num_perm // r
+        if b < 1:
+            break
+        if catch_probability(threshold, b, r) >= min_catch:
+            best = (b, r)  # r ascending: last hit = largest feasible r
+    if best is None:
+        raise ValueError(
+            f"no (b, r) with b*r <= {num_perm} catches J={threshold} "
+            f"pairs at p >= {min_catch}; increase num_perm"
+        )
+    return best
+
+
 @dataclass(frozen=True)
 class DedupConfig:
     """All knobs for the dedup pipeline. Frozen → hashable → run lineage key."""
@@ -34,8 +79,13 @@ class DedupConfig:
     # --- shingling (ref: k-mer windows, kmer_search.cpp:68-81) ---
     shingle_k: int = 5            # char 5-grams over canonicalized utf-8 bytes
     # --- MinHash (ref: E2LSH K×L, hclust/lsh.hpp:29-59 + hclust.cpp:261-289) ---
-    # (b=21, r=6): S-curve threshold (1/b)^(1/r) ≈ 0.60 with
-    # P(candidate | J=0.8) = 1-(1-0.8^6)^21 ≈ 0.998 — recall-safe at τ,
+    # (b=21, r=6) == bands_rows_for(0.8, 126): S-curve threshold
+    # (1/b)^(1/r) ≈ 0.60 with design-curve P(candidate | J=0.8) =
+    # 1-(1-0.8^6)^21 ≈ 0.998. NB the curve assumes independent slots;
+    # OPH bands are correlated (see catch_probability docstring) — the
+    # binding evidence is the MEASURED recall 1.0 / precision 1.0 vs the
+    # exact-Jaccard oracle on planted corpora (tests/test_pipeline.py)
+    # and the end-to-end verify run. Recall-safe at τ,
     # while background-similarity pairs (J≈0.3) trip a band with
     # p ≈ 0.015 instead of 0.26 at the (b=32, r=4) the reference's
     # K=16/L=32 would suggest — a ~17× candidate-volume reduction
@@ -46,6 +96,13 @@ class DedupConfig:
     # --- SimHash (ref: KLSH sign bits, pcluster/src/pcluster/lsh.cpp:40-49) ---
     simhash_bits: int = 64        # ref used 16 bits (pcluster.cpp:13); we use 64
     simhash_hamming_max: int = 3  # verify gate: bit_count(a^b) <= h
+    # block-permutation candidate scheme (Manku/Jain/Das Sarma, WWW'07):
+    # split the fingerprint into `simhash_blocks` blocks and key each of
+    # the C(blocks, blocks - hamming_max) block-combinations — any pair
+    # within hamming_max shares a clean combination (pigeonhole), and a
+    # 3-block key is ~32 bits (vs the 16-bit chunk keys of the naive
+    # 4-chunk scheme, whose 65k-bucket ceiling collapses at 10^9 docs)
+    simhash_blocks: int = 6
     # --- exact verify (ref: dis <= R gate, kmer_search.cpp:106-112) ---
     jaccard_threshold: float = 0.8
     # cheap signature-agreement prefilter before the exact-verify join
@@ -101,9 +158,39 @@ class DedupConfig:
         rng = np.random.default_rng(np.random.PCG64(self.seed))
         return int(rng.integers(0, 1 << 63, dtype=np.uint64))
 
+    @classmethod
+    def tuned(
+        cls, jaccard_threshold: float, num_perm: int = 128, **kwargs
+    ) -> "DedupConfig":
+        """Config with banding DERIVED from the target threshold via
+        bands_rows_for — the safe way to change jaccard_threshold
+        (hand-setting it against a mismatched fixed banding raises in
+        __post_init__)."""
+        b, r = bands_rows_for(jaccard_threshold, num_perm)
+        return cls(
+            jaccard_threshold=jaccard_threshold,
+            num_perm=b * r,
+            bands=b,
+            rows_per_band=r,
+            **kwargs,
+        )
+
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perm:
             raise ValueError("num_perm must equal bands * rows_per_band")
+        if self.simhash_blocks <= self.simhash_hamming_max:
+            raise ValueError(
+                "simhash_blocks must exceed simhash_hamming_max "
+                "(pigeonhole requires >= hamming_max + 1 blocks)"
+            )
+        p = catch_probability(self.jaccard_threshold, self.bands, self.rows_per_band)
+        if p < 0.95:
+            raise ValueError(
+                f"banding (b={self.bands}, r={self.rows_per_band}) catches a "
+                f"true J={self.jaccard_threshold} pair with p={p:.3f} < 0.95 — "
+                f"mis-tuned; use DedupConfig.tuned(jaccard_threshold=...) to "
+                f"re-derive (b, r)"
+            )
 
 
 DEFAULT_CONFIG = DedupConfig()

@@ -23,7 +23,9 @@ AQE skew-join handles residual stragglers.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hsearch_spark.config import DedupConfig
@@ -48,50 +50,86 @@ def bucket_pairs_grouped(
 ) -> DataFrame:
     """Generic within-bucket pairing: df(doc_id, *key_cols) -> (a, b).
 
-    ONE shuffle (the groupBy), zero self-joins, zero window sorts: each
-    bucket aggregates to a sorted doc_id array and pairs are generated
-    with nested array transforms (pure Column expressions, codegen'd).
-    Buckets over max_bucket_all_pairs emit the star-R pairing (every
-    member pairs with the R smallest ids) — connectivity-preserving,
-    O(n·R) output. `max_bucket` (e.g. the anchor df cap) drops larger
-    buckets entirely (boilerplate semantics, substring.py).
+    Buckets up to max_bucket_all_pairs emit exact all-pairs C(n,2) from
+    a sorted doc_id array via nested array transforms (pure Column
+    expressions, codegen'd). Buckets over that emit the star-R pairing
+    (every member pairs with the R smallest ids) — connectivity-
+    preserving, O(n·R) output. `max_bucket` drops larger buckets
+    entirely (boilerplate semantics, substring.py).
 
-    The per-bucket array is the memory bound to watch: a pathological
-    bucket of 10^6 members is an 8 MB aggregation value — acceptable;
-    beyond that the key must be salted upstream (operators/skew.py),
-    which the bucket_metrics histogram is there to detect.
+    Memory is HARD-BOUNDED per bucket regardless of bucket size: the
+    aggregation only ever sees the `keep_limit` smallest doc_ids of each
+    bucket (a rank-limit window — Spark pushes `row_number() <= const`
+    down as WindowGroupLimit, so each task keeps a bounded heap per key
+    *before* the shuffle, and the post-shuffle sort is external/spill-
+    able). A 10^8-member boilerplate bucket therefore aggregates a
+    ≤ keep_limit-element array, not a multi-GB one.
 
-    (The previous plan — two window functions + a ranked self-join on
-    the bucket key — computed the window sort twice, shuffled twice,
-    and joined; this is ~2× faster at 50k docs and strictly fewer
-    exchanges in the plan.)
+    Hot buckets (> max_bucket_all_pairs members) still connect EVERY
+    member: the star-R pairing is produced by BROADCAST-joining the R
+    smallest ids of each hot bucket (reps — a few rows per hot bucket,
+    tiny by construction) back against the original input — no second
+    shuffle of the big table, no row of the big side ever held in an
+    array. Output is O(n·R) per hot bucket, connectivity-preserving,
+    drops nothing. Shuffle budget: ONE exchange for the rank-limit
+    window (+ the groupBy reuses its partitioning) and ONE for the
+    cross-band pair dedup — same as the unbounded collect_list plan
+    this replaces. The input is scanned twice (window branch + star
+    branch); both scans are column-pruned and the in-pipeline input is
+    a cheap explode of checkpointed signatures.
     """
-    grouped = df.groupBy(*key_cols).agg(
+    cap = config.max_bucket_all_pairs
+    r = config.star_representatives
+    keep_limit = max(cap, r, max_bucket or 0) + 1
+    base = df.select(*key_cols, "doc_id")
+    w = Window.partitionBy(*key_cols).orderBy("doc_id")
+    kept = base.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= keep_limit
+    )
+    grouped = kept.groupBy(*key_cols).agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
     n = F.size("ids")
-    grouped = grouped.where(n > 1)
+    # Both the small-bucket branch and the hot-bucket reps branch consume
+    # `grouped`; persist it so the rank-limit window + groupBy run ONCE
+    # (physical planning substitutes one InMemoryRelation for both
+    # consumers — without it each branch re-shuffles the full input).
+    # `grouped` is bounded: one row per multi-member bucket, arrays
+    # <= keep_limit elements. Lineage is preserved (fault-tolerant),
+    # unlike localCheckpoint.
+    grouped = grouped.where(n > 1).persist()
     if max_bucket is not None:
+        # n == keep_limit ⇒ the bucket was truncated ⇒ true size > max_bucket
         grouped = grouped.where(n <= max_bucket)
-    outer_len = F.when(
-        n <= config.max_bucket_all_pairs, n - 1
-    ).otherwise(F.least(F.lit(config.star_representatives), n - 1))
+    # small buckets: full membership is present → exact all-pairs C(n,2)
+    small = grouped.where(n <= cap)
     pair_structs = F.flatten(
         F.transform(
-            F.slice("ids", 1, outer_len),
+            F.slice("ids", 1, n - 1),
             lambda x, i: F.transform(
-                F.slice(
-                    "ids", i + F.lit(2), F.size("ids")
-                ),
+                F.slice("ids", i + F.lit(2), F.size("ids")),
                 lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .select("p.a", "p.b")
-        .dropDuplicates(["a", "b"])
+    small_pairs = small.select(F.explode(pair_structs).alias("p")).select(
+        "p.a", "p.b"
     )
+    # hot buckets: R smallest ids are the representatives; broadcast
+    # them back against the FULL membership so every member gets an edge
+    # without re-shuffling the big side. (If hot-bucket reps ever
+    # outgrow a broadcast — millions of boilerplate buckets — drop the
+    # hint and AQE falls back to a shuffle join; the memory bound holds
+    # either way.)
+    reps = grouped.where(n > cap).select(
+        *key_cols, F.explode(F.slice("ids", 1, r)).alias("a")
+    )
+    large_pairs = (
+        base.join(F.broadcast(reps), key_cols)
+        .where(F.col("a") < F.col("doc_id"))
+        .select("a", F.col("doc_id").alias("b"))
+    )
+    return small_pairs.union(large_pairs).dropDuplicates(["a", "b"])
 
 
 def candidate_pairs(bands: DataFrame, config: DedupConfig) -> DataFrame:
@@ -120,47 +158,52 @@ def dropped_pairs_metrics(bands: DataFrame, config: DedupConfig) -> DataFrame:
 
 
 def simhash_candidates(sigs: DataFrame, config: DedupConfig) -> DataFrame:
-    """SimHash candidate channel: docs sharing any 16-bit fingerprint chunk.
+    """SimHash candidate channel — block-permutation scheme (Manku, Jain,
+    Das Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07).
 
-    Pigeonhole: hamming distance <= 3 over 64 bits → at least one of the
-    4 chunks is identical. Equi-join on (chunk_id, chunk_value), then the
-    cheap bit_count gate (ref two-level filter: kmer_search.cpp:100-112).
+    Split the `simhash_bits` fingerprint into `simhash_blocks` nearly
+    equal blocks; for every combination of (blocks - hamming_max) blocks,
+    key the doc on xxhash64(combo_id, those block values). Pigeonhole: a
+    pair within hamming_max has its differing bits in <= hamming_max
+    blocks, so SOME combination of the remaining blocks is identical on
+    both sides → guaranteed candidate. With the defaults (64 bits, 6
+    blocks, h=3) that is C(6,3) = 20 tables keyed on ~32 bits of
+    fingerprint — ~2^32 distinct buckets per table, vs the 65k-bucket
+    ceiling of the previous 16-bit-chunk scheme, which at 10^9 docs made
+    every bucket ~15k docs and the self-join O(n²/65k). Buckets route
+    through bucket_pairs_grouped, so residual hot buckets (fingerprint-
+    identical boilerplate) get the same star-R cap as the MinHash bands.
+    Final gate: exact bit_count(a ^ b) <= hamming_max
+    (ref two-level filter: kmer_search.cpp:100-112).
     """
-    n_chunks = 4
-    chunk_cols = F.array(
+    h = config.simhash_hamming_max
+    nb = config.simhash_blocks
+    bits = config.simhash_bits
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+
+    def block(i: int) -> F.Column:
+        return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    combos = list(itertools.combinations(range(nb), nb - h))
+    keys = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("chunk_id"),
-                F.shiftright(F.col("simhash"), i * 16)
-                .bitwiseAND(F.lit(0xFFFF))
-                .alias("chunk"),
-            )
-            for i in range(n_chunks)
+            F.xxhash64(F.lit(ci), *[block(i) for i in combo])
+            for ci, combo in enumerate(combos)
         ]
     )
-    chunks = (
-        sigs.select("doc_id", "simhash", F.explode(chunk_cols).alias("c"))
-        .select("doc_id", "simhash", "c.chunk_id", "c.chunk")
-    )
-    x, y = chunks.alias("x"), chunks.alias("y")
+    keyed = sigs.select("doc_id", F.explode(keys).alias("combo_key"))
+    pairs = bucket_pairs_grouped(keyed, ["combo_key"], config)
+    sim = sigs.select("doc_id", "simhash")
+    sa = sim.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"))
+    sb = sim.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"))
     return (
-        x.join(
-            y,
-            on=[
-                F.col("x.chunk_id") == F.col("y.chunk_id"),
-                F.col("x.chunk") == F.col("y.chunk"),
-                F.col("x.doc_id") < F.col("y.doc_id"),
-            ],
-        )
+        pairs.join(sa, "a")
+        .join(sb, "b")
         .where(
-            F.bit_count(
-                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
-            )
-            <= config.simhash_hamming_max
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= h
         )
-        .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-        )
-        .dropDuplicates(["a", "b"])
+        .select("a", "b")
     )

@@ -10,9 +10,15 @@ shuffle-key = node id, O(log n) rounds, no driver-side state beyond the
 loop counter. Dedup graphs are shallow (stars within buckets), so in
 practice 3-5 rounds.
 
-Each round localCheckpoints — without it the lineage doubles every
+Each round truncates lineage — without it the lineage doubles every
 iteration and the planner blows up (the distributed analog of the
-reference's in-RAM root[] mutation).
+reference's in-RAM root[] mutation). Two modes:
+- store=None: localCheckpoint (fast, executor-local blocks — fine for
+  local mode / tests, NOT fault-tolerant: a lost executor kills the run)
+- store=StageStore: every iteration persists its edge table to the
+  store ("cc/iter_NNN" stages) — a crashed run resumes from the last
+  completed iteration, and lost executors recompute from durable
+  parquet instead of dying (north-rule resumability at cluster scale).
 
 Deterministic canonical labels: cluster_id = min(doc_id) of the
 component — independent of partitioning, row order, and cluster size
@@ -68,18 +74,30 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25
+    edges: DataFrame, max_iter: int = 25, store=None
 ) -> DataFrame:
     """edges(a, b) -> assignments(doc_id, cluster_id), cluster_id = component min.
 
     Only nodes that appear in edges are returned; the pipeline left-joins
     back to the full doc set (singletons keep their own id).
+
+    `store` (a sources.io.StageStore) makes every iteration durable and
+    resume-aware: iteration i persists as stage "cc/iter_{i:03d}"; a
+    re-run after a mid-CC crash reads completed iterations back and
+    continues from the first missing one (the loop is deterministic, so
+    the replayed termination check decides identically).
     """
-    e = (
+
+    def _persist(df: DataFrame, name: str) -> DataFrame:
+        if store is not None:
+            return store.materialize(name, lambda: df)
+        return df.localCheckpoint()
+
+    e = _persist(
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        "cc/iter_000",
     )
     if e.isEmpty():
         spark = edges.sparkSession
@@ -95,8 +113,8 @@ def connected_components(
         return int(row["n"]), int(row["h"])
 
     prev = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+    for i in range(max_iter):
+        e = _persist(_small_star(_large_star(e)), f"cc/iter_{i + 1:03d}")
         cur = _state(e)
         if cur == prev:
             break

@@ -102,65 +102,145 @@ def cosine_topk_bruteforce(
     )
 
 
+def _pack_blocks(
+    df: DataFrame, n_blocks: int, id_name: str, prefix: str
+) -> DataFrame:
+    """(id, vec) rows -> n_blocks packed rows (block_id, ids bytes,
+    unit-normalized float64 matrix bytes, nrows, dim). Block assignment
+    is pmod(xxhash64(id), n_blocks): uniform, deterministic, no sort.
+    Each block is one bounded pandas group (~block_rows × d × 8 bytes)."""
+    import pandas as pd  # noqa: F811 (executor-side import)
+
+    schema = (
+        f"{prefix}block long, {prefix}ids binary, {prefix}mat binary, "
+        f"{prefix}n int, {prefix}dim int"
+    )
+
+    def pack(key, pdf):
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+        )[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat = mat / norms
+        return pd.DataFrame(
+            {
+                f"{prefix}block": [key[0]],
+                f"{prefix}ids": [ids.tobytes()],
+                f"{prefix}mat": [np.ascontiguousarray(mat).tobytes()],
+                f"{prefix}n": [len(ids)],
+                f"{prefix}dim": [mat.shape[1]],
+            }
+        )
+
+    return (
+        df.select(
+            F.col(id_name).alias("id"),
+            F.col("vec"),
+            F.pmod(F.xxhash64(id_name), F.lit(n_blocks)).alias("blk"),
+        )
+        .groupBy("blk")
+        .applyInPandas(pack, schema)
+    )
+
+
 def cosine_topk_blocked(
     embeddings: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 2048,
 ) -> DataFrame:
-    """Block-matmul cosine top-k: the reference/query matrix is broadcast
-    to executors and each Arrow batch of queries does ONE numpy matmul
-    (B,d)@(d,n) instead of n per-pair lambda evaluations.
+    """Distributed block-matmul cosine top-k — NO driver-side collect.
 
-    This is the standard brute-force-at-scale shape: queries stream,
-    reference set broadcasts (here the table itself — must fit in a
-    broadcast, ~n*d*8 bytes; beyond that, shard the reference side and
-    take top-k of top-ks, or switch to embedding_near_dup_pairs LSH).
+    Both sides of the (query × reference) product are packed into
+    hash-assigned blocks of ~block_rows vectors (ids + unit-normalized
+    float64 matrix as binary cells); the Q×R block cross join runs one
+    numpy GEMM per cell emitting each query's per-cell top-k by
+    (-cos, id); a final row_number window merges the R×k candidates per
+    query into the global top-k. Per-task memory is bounded by two
+    blocks + a chunked sims tile (queries are GEMM'd 512 rows at a
+    time), independent of table size — the shape that survives a 100×
+    scale-up, unlike broadcasting the whole table (driver OOM).
+
+    Determinism: per-cell selection uses the same total order
+    (-cos, id) as the final merge, so per-cell top-k loses nothing from
+    the global top-k and ties resolve identically everywhere.
     """
+    import math
+
     import pandas as pd  # noqa: F811 (executor-side import)
 
-    rows = embeddings.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    bc = embeddings.sparkSession.sparkContext.broadcast((ids, mat))
+    n = embeddings.count()
+    spark = embeddings.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], "a long, b long, cos_sim double, rnk int"
+        )
+    n_blocks = max(1, math.ceil(n / block_rows))
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    qb = _pack_blocks(base, n_blocks, "id", "q")
+    rb = _pack_blocks(base, n_blocks, "id", "r")
 
-    schema = T.StructType(
+    out_schema = T.StructType(
         [
             T.StructField("a", T.LongType(), False),
             T.StructField("b", T.LongType(), False),
             T.StructField("cos_sim", T.DoubleType(), False),
-            T.StructField("rnk", T.IntegerType(), False),
         ]
     )
+    chunk = 512  # sims tile = chunk × block_rows × 8 B ≈ 8 MB
 
-    def compute(batches):
-        ref_ids, ref = bc.value
+    def cell_topk(batches):
         for pdf in batches:
-            q_ids = pdf[id_col].to_numpy()
-            q = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ ref.T  # (B, n)
-            out_a, out_b, out_c, out_r = [], [], [], []
-            for i in range(sims.shape[0]):
-                s = sims[i]
-                mask = ref_ids != q_ids[i]
-                cand = np.flatnonzero(mask)
-                # top-k by (-cos, id): lexsort is stable + deterministic
-                ordered = cand[np.lexsort((ref_ids[cand], -s[cand]))][:k]
-                out_a.extend([q_ids[i]] * len(ordered))
-                out_b.extend(ref_ids[ordered])
-                out_c.extend(s[ordered])
-                out_r.extend(range(1, len(ordered) + 1))
-            yield pd.DataFrame(
-                {"a": out_a, "b": out_b, "cos_sim": out_c, "rnk": out_r}
-            )
+            for _, row in pdf.iterrows():
+                q_ids = np.frombuffer(row["qids"], dtype=np.int64)
+                q = np.frombuffer(row["qmat"], dtype=np.float64).reshape(
+                    row["qn"], row["qdim"]
+                )
+                r_ids = np.frombuffer(row["rids"], dtype=np.int64)
+                r = np.frombuffer(row["rmat"], dtype=np.float64).reshape(
+                    row["rn"], row["rdim"]
+                )
+                out_a, out_b, out_c = [], [], []
+                for s0 in range(0, len(q_ids), chunk):
+                    sims = q[s0 : s0 + chunk] @ r.T
+                    for i in range(sims.shape[0]):
+                        qid = q_ids[s0 + i]
+                        s = sims[i]
+                        # exclude self (ref ids are sorted)
+                        j = np.searchsorted(r_ids, qid)
+                        if j < len(r_ids) and r_ids[j] == qid:
+                            s = s.copy()
+                            s[j] = -np.inf
+                        ordered = np.lexsort((r_ids, -s))[:k]
+                        ordered = ordered[np.isfinite(s[ordered])]
+                        out_a.extend([qid] * len(ordered))
+                        out_b.extend(r_ids[ordered])
+                        out_c.extend(s[ordered])
+                yield pd.DataFrame(
+                    {"a": out_a, "b": out_b, "cos_sim": out_c}
+                )
 
-    return embeddings.select(id_col, vec_col).mapInPandas(compute, schema)
+    local = (
+        qb.crossJoin(rb)
+        .select(
+            F.col("qids"), F.col("qmat"), F.col("qn"), F.col("qdim"),
+            F.col("rids"), F.col("rmat"), F.col("rn"), F.col("rdim"),
+        )
+        .mapInPandas(cell_topk, out_schema)
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos_sim"), F.asc("b"))
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("a", "b", "cos_sim", "rnk")
+    )
 
 
 def embedding_near_dup_pairs(
@@ -181,6 +261,13 @@ def embedding_near_dup_pairs(
     hclust.cpp:261-289, materialized as one array column + posexplode
     instead of L re-scans). Verify = exact cosine within bucket, JVM-side.
     """
+    # bucket keys pack n_planes sign bits in the low bits and the table
+    # id at bit 48+ — overlap would silently merge buckets across tables
+    if n_planes >= 48 or n_tables >= (1 << 15):
+        raise ValueError(
+            f"n_planes must be < 48 and n_tables < 32768 (key packing); "
+            f"got n_planes={n_planes}, n_tables={n_tables}"
+        )
     first = embeddings.select(F.size(vec_col).alias("d")).first()
     if first is None:
         return embeddings.sparkSession.createDataFrame(

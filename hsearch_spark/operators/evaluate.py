@@ -33,20 +33,50 @@ def pair_confusion(pred: DataFrame, truth: DataFrame) -> DataFrame:
     )
 
 
-def recall_metrics(pred: DataFrame, truth: DataFrame) -> dict[str, float]:
-    """{'tp', 'fp', 'fn', 'recall', 'precision'} — driver-side scalars."""
-    conf = pair_confusion(pred, truth)
+def recall_metrics(
+    pred: DataFrame, truth: DataFrame, weight_col: str | None = None
+) -> dict[str, float]:
+    """{'tp', 'fp', 'fn', 'recall', 'precision'} — driver-side scalars.
+
+    With `weight_col` (a column of `truth`), tp/fn are WEIGHTED sums —
+    the reference's weighted recall, which scales each truth pair's
+    contribution by its distance weight so small near-dup families
+    aren't drowned out by one giant family
+    (hclust/src/hclust/motif_both_points.cpp:67-87, 100-165). fp stays
+    a plain count (false positives have no truth weight by definition);
+    precision is therefore only defined on the unweighted path and is
+    reported from counts in both cases.
+    """
+    w = (
+        F.coalesce(F.col(weight_col), F.lit(1.0))
+        if weight_col is not None
+        else F.lit(1.0)
+    )
+    p = pred.select("a", "b", F.lit(True).alias("predicted")).dropDuplicates(
+        ["a", "b"]
+    )
+    t_cols = ["a", "b"] + ([weight_col] if weight_col else [])
+    t = (
+        truth.select(*t_cols, F.lit(True).alias("actual"))
+        .dropDuplicates(["a", "b"])
+    )
+    conf = p.join(t, ["a", "b"], "full_outer")
+    pred_f = F.coalesce("predicted", F.lit(False))
+    act_f = F.coalesce("actual", F.lit(False))
     row = conf.agg(
-        F.sum(F.when(F.col("predicted") & F.col("actual"), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("predicted") & ~F.col("actual"), 1).otherwise(0)).alias("fp"),
-        F.sum(F.when(~F.col("predicted") & F.col("actual"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(pred_f & act_f, w).otherwise(F.lit(0.0))).alias("tp_w"),
+        F.sum(F.when(~pred_f & act_f, w).otherwise(F.lit(0.0))).alias("fn_w"),
+        F.sum(F.when(pred_f & act_f, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(pred_f & ~act_f, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~pred_f & act_f, 1).otherwise(0)).alias("fn"),
     ).collect()[0]
     tp, fp, fn = int(row["tp"] or 0), int(row["fp"] or 0), int(row["fn"] or 0)
+    tp_w, fn_w = float(row["tp_w"] or 0.0), float(row["fn_w"] or 0.0)
     return {
         "tp": tp,
         "fp": fp,
         "fn": fn,
-        "recall": tp / (tp + fn) if tp + fn else 1.0,
+        "recall": tp_w / (tp_w + fn_w) if tp_w + fn_w else 1.0,
         "precision": tp / (tp + fp) if tp + fp else 1.0,
     }
 

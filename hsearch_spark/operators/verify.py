@@ -61,12 +61,27 @@ def exact_jaccard_pairs(
     )
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Per-partition shingle cache: hub docs (one doc in many
+        # surviving pairs) re-shingle once per partition instead of once
+        # per pair. Bounded FIFO (~cap × 10 KB worst case) so a partition
+        # full of distinct docs can't grow it without limit.
+        cache: dict[int, np.ndarray] = {}
+        cap = 4096
+
+        def shingles(doc_id: int, text) -> np.ndarray:
+            s = cache.get(doc_id)
+            if s is None:
+                s = H.shingle_hashes(str(text), k)
+                if len(cache) >= cap:
+                    cache.pop(next(iter(cache)))
+                cache[doc_id] = s
+            return s
+
         for pdf in batches:
             jac = np.empty(len(pdf), dtype=np.float64)
-            for i, (x, y) in enumerate(zip(pdf["text_a"], pdf["text_b"])):
-                jac[i] = H.jaccard(
-                    H.shingle_hashes(str(x), k), H.shingle_hashes(str(y), k)
-                )
+            it = zip(pdf["a"], pdf["b"], pdf["text_a"], pdf["text_b"])
+            for i, (a, b, x, y) in enumerate(it):
+                jac[i] = H.jaccard(shingles(a, x), shingles(b, y))
             yield pd.DataFrame(
                 {"a": pdf["a"], "b": pdf["b"], "jaccard": jac}
             )

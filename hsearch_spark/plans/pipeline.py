@@ -118,9 +118,15 @@ def run_dedup(
         )
 
     edges = stage("edges", build_edges)
+    # CC iterations persist through the store too ("cc/iter_NNN" stages):
+    # a mid-CC crash resumes from the last completed iteration instead of
+    # restarting the loop, and iteration blocks are durable parquet, not
+    # lineage-truncated local blocks a lost executor can't recompute
     assignments = stage(
         "clusters",
-        lambda: assign_clusters(docs, connected_components(edges)),
+        lambda: assign_clusters(
+            docs, connected_components(edges, store=store)
+        ),
     )
 
     metrics = {"timings_sec": timings}

@@ -14,6 +14,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """SPARK_DRIVER_MEM, else half of physical RAM clamped to [4g, 24g]."""
+    env = os.environ.get("SPARK_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) / (1 << 30)
+    except (ValueError, OSError):  # pragma: no cover - non-posix
+        total_gb = 16.0
+    return f"{min(24, max(4, int(total_gb / 2)))}g"
+
+
 def build_session(
     app_name: str = "hsearch_spark",
     cores: int | None = None,
@@ -45,8 +59,11 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         # local mode: one JVM holds scan buffers, shuffle state AND every
         # localCheckpoint'd stage — size the heap like driver+executor
-        # combined, not like a driver
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # combined, not like a driver. Default is environment-aware
+        # (half of physical RAM, clamped to [4g, 24g]) so hosts smaller
+        # than the 128 GiB dev box don't hand the JVM a heap the
+        # OOM-killer will reclaim; SPARK_DRIVER_MEM overrides.
+        .config("spark.driver.memory", _default_driver_mem())
         # Arrow batches pin buffers in JNI critical sections; at high task
         # concurrency large allocations can spin on the GCLocker (observed
         # as 32-core runs stalling behind 8-core ones). More retries +

@@ -69,6 +69,44 @@ def test_dropped_pairs_ledger(spark):
     assert led[0]["dropped_pairs"] == total - star
 
 
+def test_pathological_bucket_bounded_and_connected(spark):
+    # one 10^5-member bucket: the aggregation must stay bounded (the
+    # rank-limit keeps only keep_limit ids per bucket; star edges come
+    # from the reps×members join, never an array) while preserving FULL
+    # connectivity — every member gets an edge to a representative.
+    cfg = DedupConfig()
+    n = 100_000
+    r = cfg.star_representatives
+    bands = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        F.lit(424242).alias("band_hash"),
+    )
+    pairs = candidate_pairs(bands, cfg)
+    # exact star-R count: r*n - r*(r+1)/2
+    assert pairs.count() == r * n - r * (r + 1) // 2
+    # connectivity: every doc 1..n-1 appears as b with a rep 0..r-1 as a
+    touched = pairs.select(F.col("b").alias("d")).union(
+        pairs.select(F.col("a").alias("d"))
+    ).distinct().count()
+    assert touched == n
+    assert pairs.agg(F.max("a")).collect()[0][0] == r - 1
+
+
+def test_star_policy_respects_max_bucket(spark):
+    # max_bucket drops buckets larger than the cap entirely (anchor
+    # boilerplate semantics) while keeping smaller buckets intact
+    from hsearch_spark.operators.candidates import bucket_pairs_grouped
+
+    cfg = DedupConfig(max_bucket_all_pairs=4, star_representatives=2)
+    rows = [(d, 1) for d in range(10)] + [(d, 2) for d in range(100, 103)]
+    df = spark.createDataFrame(rows, "doc_id long, key long")
+    got = bucket_pairs_grouped(df, ["key"], cfg, max_bucket=5).collect()
+    pairs = {(r["a"], r["b"]) for r in got}
+    # bucket 1 (10 members > max_bucket 5) dropped; bucket 2 all-pairs
+    assert pairs == {(100, 101), (100, 102), (101, 102)}
+
+
 def test_bucket_metrics_histogram(spark):
     rows = [(1, 0, 5), (2, 0, 5), (3, 0, 6), (4, 1, 7), (5, 1, 7), (6, 1, 7)]
     hist = {

@@ -107,6 +107,33 @@ def test_checkpoint_resume(spark, tmp_path):
     assert sum(lineage["files"].values()) == len(c1)
 
 
+def test_mid_cc_crash_resume(spark, tmp_path):
+    """Kill the run mid-CC (simulated: wipe the clusters stage and the
+    LAST completed CC iterations, keeping earlier ones) → the re-run
+    must resume the completed iterations and converge to the same
+    assignments — the durable-iteration guarantee localCheckpoint
+    cannot give."""
+    work = str(tmp_path / "work")
+    pages, _ = pages_dataframe(spark, n_docs=120, seed=3)
+    r1 = run_dedup(spark, pages, work_dir=work)
+    c1 = {r["doc_id"]: r["cluster_id"] for r in r1.clusters.collect()}
+    cfg_hash = DedupConfig().config_hash()
+    cc_dir = os.path.join(work, cfg_hash, "cc")
+    iters = sorted(os.listdir(cc_dir))
+    assert len(iters) >= 2, "CC should have persisted >= 2 iterations"
+    # crash state: clusters output missing, last CC iteration(s) missing
+    shutil.rmtree(os.path.join(work, cfg_hash, "clusters"))
+    for it in iters[len(iters) // 2 :]:
+        shutil.rmtree(os.path.join(cc_dir, it))
+    r2 = run_dedup(spark, pages, work_dir=work)
+    c2 = {r["doc_id"]: r["cluster_id"] for r in r2.clusters.collect()}
+    assert c1 == c2
+    # the surviving early iterations were read back, not recomputed
+    assert r2.metrics["stages"][f"cc/{iters[0]}"].get("resumed") is True
+    # and every iteration is durable again after the re-run
+    assert sorted(os.listdir(cc_dir)) == iters
+
+
 def test_edges_carry_method_and_threshold(spark, pipeline_result):
     res, _ = pipeline_result
     rows = res.edges.collect()

@@ -57,9 +57,12 @@ def test_documents_scan_pushes_predicates(spark):
 
 
 def test_candidate_pairs_shuffle_budget(spark):
-    """Design: ONE shuffle for the bucket groupBy + ONE for the cross-band
-    pair dedup. Any third Exchange is an accidental regression (the old
-    window+self-join plan had four)."""
+    """Design: ONE shuffle for the rank-limit window (whose partitioning
+    the bucket groupBy reuses) + ONE for the cross-band pair dedup. The
+    rank limit must compile to WindowGroupLimit (bounded per-task state
+    pre-shuffle); the grouped relation must be shared (InMemoryRelation)
+    so the hot-bucket reps branch doesn't re-shuffle the input; the
+    star join must broadcast."""
     bands = spark.createDataFrame(
         [(i, i % 3, i % 7) for i in range(100)],
         "doc_id long, band_id int, band_hash long",
@@ -68,6 +71,9 @@ def test_candidate_pairs_shuffle_budget(spark):
     assert n_exchanges(pairs) == 2
     p = plan_str(pairs)
     assert "hashpartitioning(band_id" in p
+    assert "WindowGroupLimit" in p
+    assert "InMemoryRelation" in p or "InMemoryTableScan" in p
+    assert "BroadcastHashJoin" in p
 
 
 def test_substring_edges_shuffle_budget(spark):
