@@ -415,6 +415,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN (operators/ann.py) in full-probe mode
+    (n_probe == n_lists), which is provably exact — so it shares the
+    brute-force oracle. The approximate regime (n_probe < n_lists,
+    recall@5 >= 0.8 at quarter-probe) is pytest-gated in
+    tests/test_ann.py."""
+    from hsearch_spark.operators.ann import ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    topk = ivf_topk(e, k=5, n_lists=16, n_probe=16)
+    return topk.select(
+        "a", "b", F.round("cos_sim", 4).alias("cos_sim"), "rnk"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine >= 0.4 (brute force, oracle-able).
 
@@ -471,6 +486,20 @@ def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-n-gram language ID (text-analysis suite): argmax of
+    per-language marker-trigram hit counts; 'und' when no marker fires.
+    Deterministic scoring is what the oracle checks — the synthetic
+    corpus shares one vocabulary across its lang labels, so label
+    accuracy is not measurable here (documented in functions/text.py)."""
+    from hsearch_spark.functions.text import lang_id_col
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", lang_id_col(F.col("text")).alias("pred_lang")
+    ).orderBy("doc_id")
 
 
 def q_union_eval_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -838,9 +867,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_windows": q_repeated_windows,
         "bucket_size_histogram": q_bucket_size_histogram,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "ivf_cosine_topk": q_ivf_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "token_stats_per_lang": q_token_stats_per_lang,
         "lang_distribution": q_lang_distribution,
+        "lang_id": q_lang_id,
         "union_eval_keys": q_union_eval_keys,
         "label_centroids": q_label_centroids,
         "doc_variants": q_doc_variants,
@@ -866,6 +897,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # canonicalized text expression shared by the oracles (must mirror
 # hsearch_spark.functions.text.canonicalize_text_col exactly)
 _CANON = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _lang_id_oracle() -> str:
+    """DuckDB mirror of functions.text.lang_id_col, generated from the
+    same _LANG_MARKERS table so the two can never drift."""
+    from hsearch_spark.functions.text import _LANG_MARKERS
+
+    score_rows = []
+    for lang, markers in _LANG_MARKERS.items():
+        terms = " + ".join(
+            f"(length(p) - length(replace(p, '{m}', ''))) / {float(len(m))}"
+            for m in markers
+        )
+        score_rows.append(
+            f"SELECT doc_id, '{lang}' AS lang, ({terms}) AS score FROM d"
+        )
+    union = "\n              UNION ALL\n              ".join(score_rows)
+    return f"""
+            WITH d AS (
+              SELECT doc_id, ' ' || {_CANON} || ' ' AS p FROM documents
+            ), s AS (
+              {union}
+            ), best AS (
+              SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, lang DESC) AS rn
+              FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang
+            FROM best WHERE rn = 1 ORDER BY doc_id
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1049,6 +1112,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, round(cos, 4) AS cos_sim, rnk
             FROM ranked WHERE rnk <= 5
         """,
+        "ivf_cosine_topk": """
+            WITH pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                            CAST(y.embedding AS DOUBLE[])) AS cos
+              FROM embeddings x, embeddings y
+              WHERE x.vec_id <> y.vec_id
+            ), ranked AS (
+              SELECT a, b, cos,
+                     row_number() OVER (PARTITION BY a
+                                        ORDER BY cos DESC, b ASC) AS rnk
+              FROM pairs
+            )
+            SELECT a, b, round(cos, 4) AS cos_sim, rnk
+            FROM ranked WHERE rnk <= 5
+        """,
         "embedding_near_dup": """
             SELECT x.vec_id AS a, y.vec_id AS b,
                    round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
@@ -1067,6 +1146,7 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(length(t)), 4) AS avg_chars
             FROM d GROUP BY lang ORDER BY lang
         """,
+        "lang_id": _lang_id_oracle(),
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs,
                    round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)

@@ -15,7 +15,12 @@ from pyspark.sql import SparkSession
 
 
 def _default_driver_mem() -> str:
-    """SPARK_DRIVER_MEM, else half of physical RAM clamped to [4g, 24g]."""
+    """SPARK_DRIVER_MEM, else half of physical RAM clamped to [4g, 48g].
+
+    The upper clamp matters: measured at 1M docs/local[8], a 24g heap
+    loses ~23% throughput to GC pressure vs 48g (BENCH.md round-2
+    notes); the lower clamp keeps small hosts out of OOM-killer range.
+    """
     env = os.environ.get("SPARK_DRIVER_MEM")
     if env:
         return env
@@ -25,7 +30,7 @@ def _default_driver_mem() -> str:
         ) / (1 << 30)
     except (ValueError, OSError):  # pragma: no cover - non-posix
         total_gb = 16.0
-    return f"{min(24, max(4, int(total_gb / 2)))}g"
+    return f"{min(48, max(4, int(total_gb / 2)))}g"
 
 
 def build_session(
