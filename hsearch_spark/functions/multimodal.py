@@ -161,6 +161,51 @@ def sample_frames(
     return media.select("doc_id", "payload").mapInPandas(compute, FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes_in", T.LongType(), False),
+        T.StructField("n_bytes_out", T.LongType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = 1024) -> DataFrame:
+    """Media resize, stubbed at the byte level: deterministic stride
+    subsampling of the payload to ~target_bytes (the real implementation
+    swaps the byte stride for an image resample — PIL absent in this
+    container; single swap point like decode_image). Plan shape (one
+    Arrow-batched mapInPandas pass, binary in → binary out, bounded
+    output row size) is the real contract and is what scales: output is
+    capped at target_bytes per row regardless of input size.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_in, n_out, out = [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p) if p is not None else b""
+                n_in.append(len(b))
+                if len(b) <= target_bytes:
+                    r = b
+                else:
+                    step = -(-len(b) // target_bytes)  # ceil div
+                    r = b[::step][:target_bytes]
+                n_out.append(len(r))
+                out.append(r)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes_in": pd.array(n_in, dtype="int64"),
+                    "n_bytes_out": pd.array(n_out, dtype="int64"),
+                    "resized": out,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(compute, RESIZE_SCHEMA)
+
+
 def exact_media_dup_groups(features: DataFrame) -> DataFrame:
     """Byte-identical media groups by content sha1 (exact media dedup)."""
     from pyspark.sql import functions as F

@@ -70,15 +70,22 @@ def ivf_topk(
     """
     if n_probe > n_lists:
         raise ValueError("n_probe must be <= n_lists")
+    if embeddings.isEmpty():
+        return embeddings.sparkSession.createDataFrame(
+            [], "a long, b long, cos_sim double, rnk int"
+        )
     cents = _centroids(embeddings, n_lists, seed, id_col, vec_col)
 
-    norm = F.sqrt(
+    raw_norm = F.sqrt(
         F.aggregate(
             F.transform(vec_col, lambda x: x.cast("double")),
             F.lit(0.0),
             lambda acc, x: acc + x * x,
         )
     )
+    # zero-vector guard: x/0.0 is NULL under non-ANSI division, and a
+    # NULL array element crashes the probe GEMM
+    norm = F.when(raw_norm == 0.0, F.lit(1.0)).otherwise(raw_norm)
     unit = embeddings.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double") / norm).alias("v"),

@@ -96,8 +96,13 @@ def bucket_pairs_grouped(
     # consumers — without it each branch re-shuffles the full input).
     # `grouped` is bounded: one row per multi-member bucket, arrays
     # <= keep_limit elements. Lineage is preserved (fault-tolerant),
-    # unlike localCheckpoint.
-    grouped = grouped.where(n > 1).persist()
+    # unlike localCheckpoint; bounded_persist evicts caches from prior
+    # calls at this site (streaming runs this once per micro-batch).
+    from hsearch_spark.utils import bounded_persist
+
+    grouped = bounded_persist(
+        grouped.where(n > 1), "candidates.bucket_pairs_grouped"
+    )
     if max_bucket is not None:
         # n == keep_limit ⇒ the bucket was truncated ⇒ true size > max_bucket
         grouped = grouped.where(n <= max_bucket)
@@ -117,10 +122,12 @@ def bucket_pairs_grouped(
     )
     # hot buckets: R smallest ids are the representatives; broadcast
     # them back against the FULL membership so every member gets an edge
-    # without re-shuffling the big side. (If hot-bucket reps ever
-    # outgrow a broadcast — millions of boilerplate buckets — drop the
-    # hint and AQE falls back to a shuffle join; the memory bound holds
-    # either way.)
+    # without re-shuffling the big side. NB the broadcast hint is
+    # honored unconditionally — it is NOT auto-dropped at size: reps
+    # rows = R × (#hot buckets), fine up to ~10^7 rows; a corpus whose
+    # hot-bucket count exceeds that needs this hint removed (plain
+    # shuffle join — the per-bucket memory bound still holds, only the
+    # exchange count grows).
     reps = grouped.where(n > cap).select(
         *key_cols, F.explode(F.slice("ids", 1, r)).alias("a")
     )
@@ -142,16 +149,27 @@ def candidate_pairs(bands: DataFrame, config: DedupConfig) -> DataFrame:
     return bucket_pairs_grouped(bands, ["band_id", "band_hash"], config)
 
 
-def dropped_pairs_metrics(bands: DataFrame, config: DedupConfig) -> DataFrame:
+def dropped_pairs_metrics(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    config: DedupConfig | None = None,
+) -> DataFrame:
     """Per-bucket count of pairs NOT emitted by the star-R policy —
-    the no-silent-truncation ledger (SURVEY.md §4 'no silent truncation')."""
-    sizes = bands.groupBy("band_id", "band_hash").agg(F.count("*").alias("n"))
+    the no-silent-truncation ledger (SURVEY.md §4 'no silent
+    truncation'). Works for any keyed channel: MinHash bands
+    (default key ["band_id", "band_hash"]), SimHash combos
+    (["combo_key"]), etc."""
+    if isinstance(key_cols, DedupConfig):  # legacy (bands, config) call
+        key_cols, config = None, key_cols
+    if config is None:
+        raise TypeError("config is required")
+    key_cols = key_cols or ["band_id", "band_hash"]
+    sizes = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
     n, r = F.col("n"), F.lit(config.star_representatives)
     all_pairs = n * (n - 1) / 2
     star_pairs = r * n - r * (r + 1) / 2
     return sizes.where(n > config.max_bucket_all_pairs).select(
-        "band_id",
-        "band_hash",
+        *key_cols,
         "n",
         (all_pairs - star_pairs).cast("long").alias("dropped_pairs"),
     )
@@ -166,13 +184,22 @@ def simhash_candidates(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     key the doc on xxhash64(combo_id, those block values). Pigeonhole: a
     pair within hamming_max has its differing bits in <= hamming_max
     blocks, so SOME combination of the remaining blocks is identical on
-    both sides → guaranteed candidate. With the defaults (64 bits, 6
-    blocks, h=3) that is C(6,3) = 20 tables keyed on ~32 bits of
-    fingerprint — ~2^32 distinct buckets per table, vs the 65k-bucket
-    ceiling of the previous 16-bit-chunk scheme, which at 10^9 docs made
-    every bucket ~15k docs and the self-join O(n²/65k). Buckets route
-    through bucket_pairs_grouped, so residual hot buckets (fingerprint-
-    identical boilerplate) get the same star-R cap as the MinHash bands.
+    both sides → candidate. With the defaults (64 bits, 6 blocks, h=3)
+    that is C(6,3) = 20 tables keyed on ~32 bits of fingerprint —
+    ~2^32 distinct buckets per table, vs the 65k-bucket ceiling of the
+    previous 16-bit-chunk scheme, which at 10^9 docs made every bucket
+    ~15k docs and the self-join O(n²/65k).
+
+    Hot-bucket caveat (shared with the MinHash band channel): buckets
+    over max_bucket_all_pairs degrade to the star-R pairing, so the
+    pigeonhole guarantee holds UNCONDITIONALLY only for buckets within
+    the all-pairs cap; in a hot bucket a member-member pair survives iff
+    a representative also passes the hamming gate (true for the
+    boilerplate near-identical families that cause hot buckets, not
+    guaranteed for adversarial structures). That trade is deliberate —
+    the reference's own hot-bucket policy is a hard output cap
+    (pcluster.cpp:115-116) — and the not-emitted volume is observable
+    via dropped_pairs_metrics(keyed, ["combo_key"], config).
     Final gate: exact bit_count(a ^ b) <= hamming_max
     (ref two-level filter: kmer_search.cpp:100-112).
     """

@@ -184,8 +184,19 @@ def cosine_topk_blocked(
     base = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
-    qb = _pack_blocks(base, n_blocks, "id", "q")
-    rb = _pack_blocks(base, n_blocks, "id", "r")
+    # pack ONCE; derive the reference side by renaming columns — without
+    # the persist both crossJoin branches would re-run the pack shuffle
+    from hsearch_spark.utils import bounded_persist
+
+    qb = bounded_persist(
+        _pack_blocks(base, n_blocks, "id", "q"), "dedup.cosine_topk_blocked"
+    )
+    rb = qb.select(
+        *[
+            F.col(c).alias("r" + c[1:])
+            for c in ("qblock", "qids", "qmat", "qn", "qdim")
+        ]
+    )
 
     out_schema = T.StructType(
         [

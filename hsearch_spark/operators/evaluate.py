@@ -17,17 +17,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pair_confusion(pred: DataFrame, truth: DataFrame) -> DataFrame:
-    """Full-outer join of pred(a,b) vs truth(a,b) → per-pair tp/fp/fn flags."""
+def pair_confusion(
+    pred: DataFrame, truth: DataFrame, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Full-outer join of pred(a,b) vs truth(a,b) → per-pair tp/fp/fn flags.
+
+    `carry_cols` names extra truth columns (e.g. a pair weight) to carry
+    through the join — NULL on predicted-only rows."""
     p = pred.select("a", "b", F.lit(True).alias("predicted")).dropDuplicates(
         ["a", "b"]
     )
-    t = truth.select("a", "b", F.lit(True).alias("actual")).dropDuplicates(
-        ["a", "b"]
-    )
+    t = truth.select(
+        "a", "b", *carry_cols, F.lit(True).alias("actual")
+    ).dropDuplicates(["a", "b"])
     return p.join(t, ["a", "b"], "full_outer").select(
         "a",
         "b",
+        *carry_cols,
         F.coalesce("predicted", F.lit(False)).alias("predicted"),
         F.coalesce("actual", F.lit(False)).alias("actual"),
     )
@@ -52,17 +58,11 @@ def recall_metrics(
         if weight_col is not None
         else F.lit(1.0)
     )
-    p = pred.select("a", "b", F.lit(True).alias("predicted")).dropDuplicates(
-        ["a", "b"]
+    conf = pair_confusion(
+        pred, truth, carry_cols=(weight_col,) if weight_col else ()
     )
-    t_cols = ["a", "b"] + ([weight_col] if weight_col else [])
-    t = (
-        truth.select(*t_cols, F.lit(True).alias("actual"))
-        .dropDuplicates(["a", "b"])
-    )
-    conf = p.join(t, ["a", "b"], "full_outer")
-    pred_f = F.coalesce("predicted", F.lit(False))
-    act_f = F.coalesce("actual", F.lit(False))
+    pred_f = F.col("predicted")
+    act_f = F.col("actual")
     row = conf.agg(
         F.sum(F.when(pred_f & act_f, w).otherwise(F.lit(0.0))).alias("tp_w"),
         F.sum(F.when(~pred_f & act_f, w).otherwise(F.lit(0.0))).alias("fn_w"),

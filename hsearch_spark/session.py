@@ -65,7 +65,7 @@ def build_session(
         # local mode: one JVM holds scan buffers, shuffle state AND every
         # localCheckpoint'd stage — size the heap like driver+executor
         # combined, not like a driver. Default is environment-aware
-        # (half of physical RAM, clamped to [4g, 24g]) so hosts smaller
+        # (half of physical RAM, clamped to [4g, 48g]) so hosts smaller
         # than the 128 GiB dev box don't hand the JVM a heap the
         # OOM-killer will reclaim; SPARK_DRIVER_MEM overrides.
         .config("spark.driver.memory", _default_driver_mem())

@@ -50,3 +50,16 @@ def test_ivf_deterministic(spark):
         map(tuple, ivf_topk(e.repartition(7), k=3, n_lists=8, n_probe=2).collect())
     )
     assert r1 == r2
+
+
+def test_ivf_zero_vector_and_empty(spark):
+    # zero vector must not poison the probe GEMM (NULL from x/0.0)
+    e = _blobs(spark, n=60)
+    zero = spark.createDataFrame(
+        [(999, [0.0] * 16)], "vec_id long, embedding array<double>"
+    )
+    out = ivf_topk(e.union(zero), k=3, n_lists=8, n_probe=8)
+    assert out.where("a = 999").count() == 3
+    # empty input returns an empty typed frame, not a crash
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert ivf_topk(empty, k=3, n_lists=4, n_probe=2).count() == 0

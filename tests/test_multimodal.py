@@ -93,3 +93,22 @@ def test_decode_image_gated(spark):
         pass
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_resize_media_bounded_and_deterministic(spark):
+    from hsearch_spark.functions.multimodal import resize_media
+
+    rows = [
+        (1, bytes(range(256)) * 32),   # 8192 bytes → subsampled
+        (2, b"tiny"),                  # under target → passthrough
+        (3, None),                     # null payload → empty
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in resize_media(media, target_bytes=512).collect()}
+    assert got[1]["n_bytes_in"] == 8192
+    assert got[1]["n_bytes_out"] <= 512
+    assert got[2]["resized"] == b"tiny"
+    assert got[3]["n_bytes_out"] == 0
+    # deterministic: same payload → same resized bytes across runs
+    again = {r["doc_id"]: r for r in resize_media(media, target_bytes=512).collect()}
+    assert bytes(got[1]["resized"]) == bytes(again[1]["resized"])

@@ -70,10 +70,12 @@ def main() -> None:
     base = None
     for k in (1, 2, 4, 8, 16, 32):
         with mp.Pool(k) as pool:
-            t0 = time.monotonic()
-            pool.map(_worker, [(i, n_docs) for i in range(k)])
-            wall = time.monotonic() - t0
-        total = k * n_docs / wall
+            # use the KERNEL-ONLY durations returned by each worker —
+            # wall time around pool.map would also count interpreter
+            # start, module imports, and corpus generation, which are
+            # setup noise, not kernel scaling
+            durs = pool.map(_worker, [(i, n_docs) for i in range(k)])
+        total = sum(n_docs / d for d in durs)  # workers run concurrently
         per = total / k
         if base is None:
             base = per
