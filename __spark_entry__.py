@@ -502,6 +502,20 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 residue-frequency analog: corpus-wide character frequency over
+    canonical text (ref counts amino-acid residue frequencies; for
+    webtext the 'residues' are characters). Map-side-combinable
+    explode + groupBy — one shuffle on a tiny key space."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"))
+        .groupBy("ch")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy("ch")
+    )
+
+
 def q_union_eval_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3: key-space union of two tables' category domains."""
     c = _read(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("k"))
@@ -872,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_per_lang": q_token_stats_per_lang,
         "lang_distribution": q_lang_distribution,
         "lang_id": q_lang_id,
+        "char_frequency": q_char_frequency,
         "union_eval_keys": q_union_eval_keys,
         "label_centroids": q_label_centroids,
         "doc_variants": q_doc_variants,
@@ -1147,6 +1162,14 @@ def oracle_sql() -> dict[str, str]:
             FROM d GROUP BY lang ORDER BY lang
         """,
         "lang_id": _lang_id_oracle(),
+        "char_frequency": f"""
+            SELECT ch, count(*) AS n_occurrences
+            FROM (
+              SELECT unnest(regexp_extract_all({_CANON}, '.')) AS ch
+              FROM documents
+            )
+            GROUP BY ch ORDER BY ch
+        """,
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs,
                    round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
