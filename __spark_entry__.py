@@ -430,6 +430,20 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_cosine_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF in its actual operating regime (n_probe << n_lists): each
+    query touches n_probe/n_lists of the table. rows-only — approximate
+    results have no SQL oracle; exactness is covered by ivf_cosine_topk
+    (full probe) and the recall floor by tests/test_ann.py."""
+    from hsearch_spark.operators.ann import ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    topk = ivf_topk(e, k=5, n_lists=64, n_probe=8)
+    return topk.select(
+        "a", "b", F.round("cos_sim", 4).alias("cos_sim"), "rnk"
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine >= 0.4 (brute force, oracle-able).
 
@@ -899,6 +913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_cluster_stats": q_label_cluster_stats,
         "m8_export": q_m8_export,
         # rows-only (seeded LSH internals; no SQL equivalent)
+        "ivf_cosine_topk_probe": q_ivf_cosine_topk_probe,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "minhash_clusters": q_minhash_clusters,

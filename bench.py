@@ -40,6 +40,11 @@ BENCH_QUERIES = (
     "repeated_windows",
     "ann_cosine_topk",
     "minhash_clusters",
+    # round-2 operators (new keys; earlier keys unchanged for
+    # cross-round comparability). IVF is benched in its approximate
+    # operating regime; the exact full-probe config is contract-only.
+    "ivf_cosine_topk_probe",
+    "edit_similarity_pairs",
 )
 
 

@@ -102,7 +102,14 @@ def ivf_topk(
         )[:, :n_probe]
         return pd.Series(list(order.astype(np.int32)))
 
-    probed = unit.withColumn("lists", probe_udf("v"))
+    # both the inverted file and the probe side consume `probed`;
+    # persist so normalization + probe GEMM run once (bounded_persist
+    # evicts caches from prior calls at this site)
+    from hsearch_spark.utils import bounded_persist
+
+    probed = bounded_persist(
+        unit.withColumn("lists", probe_udf("v")), "ann.ivf_topk"
+    )
     # inverted file: a vector belongs to its single nearest list
     inv = probed.select(
         F.col("id").alias("b"),
@@ -114,17 +121,51 @@ def ivf_topk(
         F.col("v").alias("va"),
         F.explode("lists").alias("list_id"),
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+
+    # Per-list GEMM via cogroup: (queries probing list L) × (members of
+    # list L) meet in ONE pandas group each — candidate pairs are never
+    # materialized as rows, the scoring is a numpy matmul, and only each
+    # query's per-list top-k leaves the task (same total-order
+    # (-cos, id) selection as the final merge, so nothing in the global
+    # top-k is lost). A pathologically popular list bounds the group at
+    # |probers| + |members| rows; re-centroiding (more lists) is the
+    # production lever against centroid skew.
+    def per_list_topk(key, q_pdf, m_pdf):
+        if len(q_pdf) == 0 or len(m_pdf) == 0:
+            return pd.DataFrame({"a": [], "b": [], "cos_sim": []})
+        q_ids = q_pdf["a"].to_numpy(dtype=np.int64)
+        q_order = np.argsort(q_ids)  # canonical row order: BLAS micro-
+        q_ids = q_ids[q_order]       # kernels round differently per row
+        qm = np.stack(q_pdf["va"].to_numpy())[q_order]  # lane → sort both sides
+        m_ids = m_pdf["b"].to_numpy(dtype=np.int64)
+        order = np.argsort(m_ids)
+        m_ids = m_ids[order]
+        mm = np.stack(m_pdf["vb"].to_numpy())[order]
+        sims = qm @ mm.T
+        # self-exclusion, vectorized: pin sims[i, pos(q_id)] = -inf
+        pos = np.searchsorted(m_ids, q_ids)
+        hit = (pos < len(m_ids)) & (m_ids[np.minimum(pos, len(m_ids) - 1)] == q_ids)
+        sims[np.flatnonzero(hit), pos[hit]] = -np.inf
+        # top-k per row: stable argsort on -sims breaks ties by column
+        # position, and columns are m_id-ascending → exactly the
+        # (-cos, id) total order, no per-row Python loop
+        kk = min(k, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(len(q_ids)), kk)
+        cols = top.ravel()
+        keep = np.isfinite(sims[rows, cols])
+        rows, cols = rows[keep], cols[keep]
+        return pd.DataFrame(
+            {"a": q_ids[rows], "b": m_ids[cols], "cos_sim": sims[rows, cols]}
+        )
+
     scored = (
-        queries.join(inv, "list_id")
-        .where(F.col("a") != F.col("b"))
-        .select("a", "b", dot.alias("cos_sim"))
-        .dropDuplicates(["a", "b"])
+        queries.groupBy("list_id")
+        .cogroup(inv.groupBy("list_id"))
+        .applyInPandas(per_list_topk, "a long, b long, cos_sim double")
     )
+    # a member belongs to exactly one list, so (a, b) appears at most
+    # once across all probed lists — no pair dedup needed
     w = Window.partitionBy("a").orderBy(F.desc("cos_sim"), F.asc("b"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

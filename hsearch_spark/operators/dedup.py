@@ -218,24 +218,35 @@ def cosine_topk_blocked(
                 r = np.frombuffer(row["rmat"], dtype=np.float64).reshape(
                     row["rn"], row["rdim"]
                 )
-                out_a, out_b, out_c = [], [], []
+                frames = []
                 for s0 in range(0, len(q_ids), chunk):
+                    qc_ids = q_ids[s0 : s0 + chunk]
                     sims = q[s0 : s0 + chunk] @ r.T
-                    for i in range(sims.shape[0]):
-                        qid = q_ids[s0 + i]
-                        s = sims[i]
-                        # exclude self (ref ids are sorted)
-                        j = np.searchsorted(r_ids, qid)
-                        if j < len(r_ids) and r_ids[j] == qid:
-                            s = s.copy()
-                            s[j] = -np.inf
-                        ordered = np.lexsort((r_ids, -s))[:k]
-                        ordered = ordered[np.isfinite(s[ordered])]
-                        out_a.extend([qid] * len(ordered))
-                        out_b.extend(r_ids[ordered])
-                        out_c.extend(s[ordered])
-                yield pd.DataFrame(
-                    {"a": out_a, "b": out_b, "cos_sim": out_c}
+                    # self-exclusion, vectorized (ref ids are sorted)
+                    pos = np.searchsorted(r_ids, qc_ids)
+                    hit = (pos < len(r_ids)) & (
+                        r_ids[np.minimum(pos, len(r_ids) - 1)] == qc_ids
+                    )
+                    sims[np.flatnonzero(hit), pos[hit]] = -np.inf
+                    # stable argsort on -sims = (-cos, id) total order
+                    # (columns are r_id-ascending), no per-row loop
+                    kk = min(k, sims.shape[1])
+                    top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                    rows = np.repeat(np.arange(len(qc_ids)), kk)
+                    cols = top.ravel()
+                    keep = np.isfinite(sims[rows, cols])
+                    rows, cols = rows[keep], cols[keep]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "a": qc_ids[rows],
+                                "b": r_ids[cols],
+                                "cos_sim": sims[rows, cols],
+                            }
+                        )
+                    )
+                yield pd.concat(frames, ignore_index=True) if frames else (
+                    pd.DataFrame({"a": [], "b": [], "cos_sim": []})
                 )
 
     local = (
