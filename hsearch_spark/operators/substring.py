@@ -52,17 +52,22 @@ def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     # shared by 10^4+ pages would otherwise collect_list a multi-MB array
     # per anchor — humongous allocations that stall the whole JVM behind
     # the GCLocker at high task concurrency (observed: 32-core runs slower
-    # than 8-core). The window count shares the groupBy's shuffle
-    # partitioning, so the gate costs a sort, not an extra exchange, and
-    # every surviving array is bounded by anchor_df_max.
-    df_count = F.count("*").over(Window.partitionBy("anchor"))
-    anchors = anchors.withColumn("df", df_count).where(
-        (F.col("df") > 1) & (F.col("df") <= config.anchor_df_max)
+    # than 8-core). The rank-limit filter compiles to WindowGroupLimit
+    # (bounded per-anchor state BEFORE the shuffle, partial top-K per
+    # task — a boilerplate anchor is never fully sorted anywhere), the
+    # groupBy reuses the window's partitioning (no extra exchange), and
+    # arrays are bounded by df_max + 1. An anchor arriving truncated
+    # (size == df_max + 1) has df > anchor_df_max → boilerplate, dropped;
+    # size >= 2 keeps only genuinely shared anchors.
+    w = Window.partitionBy("anchor").orderBy("doc_id")
+    kept = anchors.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= config.anchor_df_max + 1
     )
-    grouped = anchors.groupBy("anchor").agg(
+    grouped = kept.groupBy("anchor").agg(
         F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
     n = F.size("ids")
+    grouped = grouped.where((n >= 2) & (n <= config.anchor_df_max))
     pair_structs = F.flatten(
         F.transform(
             F.slice("ids", 1, n - 1),
