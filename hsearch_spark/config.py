@@ -119,8 +119,19 @@ class DedupConfig:
     # --- skew handling (ref precedent: 500-hit cap, pcluster.cpp:115-116) ---
     max_bucket_all_pairs: int = 64   # buckets up to this size emit all pairs
     star_representatives: int = 8    # larger buckets: pair members w/ R smallest ids
+    # physical-only knob (NOT in config_hash — does not change results):
+    # hot-bucket reps are broadcast back against the full input only while
+    # reps rows <= this; above it the star join degrades to a plain
+    # shuffle join instead of blowing the driver/broadcast memory limit
+    # on a corpus with pathologically many hot buckets
+    max_broadcast_reps: int = 10_000_000
     # --- determinism ---
     seed: int = 42
+    # escape hatch (NOT in config_hash): validate_banding=False downgrades
+    # the __post_init__ mis-tune ValueError to a warning for callers who
+    # knowingly want a shallow S-curve (e.g. recall experiments below the
+    # designed threshold). Default True preserves the fail-loud contract.
+    validate_banding: bool = True
     # MinHash scheme (part of the config hash: changing it invalidates
     # checkpoints): "oph" = one-permutation hashing with rotation
     # densification (hashing.minhash_signature). Trade-off vs a K×L
@@ -131,9 +142,18 @@ class DedupConfig:
     # so the cost is confined to the cheap estimate join.
     minhash_scheme: str = "oph"
 
+    # fields that change HOW the plan executes or validates, never WHAT it
+    # computes — excluded from the lineage hash so flipping them doesn't
+    # spuriously invalidate checkpoints
+    _NON_SEMANTIC = frozenset({"max_broadcast_reps", "validate_banding"})
+
     def config_hash(self) -> str:
-        """Stable 12-hex digest of the config → checkpoint lineage key."""
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        """Stable 12-hex digest of the semantic config → checkpoint
+        lineage key (physical-only knobs excluded)."""
+        d = {
+            k: v for k, v in asdict(self).items() if k not in self._NON_SEMANTIC
+        }
+        blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:12]
 
     # ---- derived, deterministic hash families (broadcast to executors) ----
@@ -185,12 +205,17 @@ class DedupConfig:
             )
         p = catch_probability(self.jaccard_threshold, self.bands, self.rows_per_band)
         if p < 0.95:
-            raise ValueError(
+            msg = (
                 f"banding (b={self.bands}, r={self.rows_per_band}) catches a "
                 f"true J={self.jaccard_threshold} pair with p={p:.3f} < 0.95 — "
                 f"mis-tuned; use DedupConfig.tuned(jaccard_threshold=...) to "
                 f"re-derive (b, r)"
             )
+            if self.validate_banding:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg, stacklevel=2)
 
 
 DEFAULT_CONFIG = DedupConfig()

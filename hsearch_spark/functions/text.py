@@ -171,6 +171,26 @@ def lang_id_col(text: Column) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+def lang_id_frame(
+    df: DataFrame, text_col: str = "text", pred_col: str = "model_lang"
+) -> DataFrame:
+    """Language-ID with an external-model escape hatch.
+
+    Adds `pred_lang`. When the input already carries a model prediction
+    column (`pred_col` — e.g. fasttext scores joined in upstream, which
+    is not installable in-sandbox), non-null predictions pass through
+    verbatim and the marker heuristic only fills the gaps; otherwise the
+    marker heuristic decides alone. This keeps the operator's contract
+    stable the day a real LID model is deployed: same output column,
+    same downstream queries, better labels.
+    """
+    base = lang_id_col(F.col(text_col))
+    out = (
+        F.coalesce(F.col(pred_col), base) if pred_col in df.columns else base
+    )
+    return df.withColumn("pred_lang", out)
+
+
 def fingerprint_col(text: Column) -> Column:
     """64-bit document fingerprint of canonical text (exact-dup key)."""
     return F.xxhash64(text)

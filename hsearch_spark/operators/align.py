@@ -38,8 +38,13 @@ ALIGN_SCHEMA = T.StructType(
 )
 
 
-def _levenshtein(x: bytes, y: bytes, band: int | None) -> int:
-    """Row-vectorized Levenshtein DP over byte arrays — no per-cell Python.
+def _levenshtein(x, y, band: int | None) -> int:
+    """Row-vectorized Levenshtein DP over symbol arrays — no per-cell Python.
+
+    `x`/`y` are bytes (treated as uint8 symbols) or numpy integer arrays
+    (e.g. uint32 Unicode code points — the operator path, so distances
+    are CHARACTER-level and match DuckDB/PostgreSQL `levenshtein()` on
+    non-ASCII text too, not just when UTF-8 happens to be 1 byte/char).
 
     The only sequential dependency in a DP row is the insertion chain
     cur[j] = min(best[j], cur[j-1] + 1); substituting c[j] = cur[j] - j
@@ -48,17 +53,27 @@ def _levenshtein(x: bytes, y: bytes, band: int | None) -> int:
 
     band=None → exact. band=k → Ukkonen band: cells with |i-j| > k are
     pinned to BIG; the result is exact whenever the true distance <= k,
-    and any value > k only means "more than band" (early exit).
+    and otherwise is exactly band + 1, meaning "more than band" — a sane
+    magnitude consumers can sort/threshold on (never the raw BIG-ish
+    internal bound).
     """
-    if len(x) < len(y):
-        x, y = y, x  # y is the shorter → row width min(n, m)
-    n, m = len(x), len(y)
+    xa = (
+        np.frombuffer(x, dtype=np.uint8)
+        if isinstance(x, (bytes, bytearray))
+        else np.asarray(x)
+    )
+    ya = (
+        np.frombuffer(y, dtype=np.uint8)
+        if isinstance(y, (bytes, bytearray))
+        else np.asarray(y)
+    )
+    if len(xa) < len(ya):
+        xa, ya = ya, xa  # ya is the shorter → row width min(n, m)
+    n, m = len(xa), len(ya)
+    if band is not None and n - m > band:
+        return band + 1  # length gap alone exceeds the band
     if m == 0:
         return n
-    if band is not None and n - m > band:
-        return n - m  # length gap alone exceeds the band
-    xa = np.frombuffer(x, dtype=np.uint8)
-    ya = np.frombuffer(y, dtype=np.uint8)
     BIG = np.int64(1) << 30
     js = np.arange(1, m + 1, dtype=np.int64)
     j0 = np.arange(m + 1, dtype=np.int64)
@@ -77,10 +92,10 @@ def _levenshtein(x: bytes, y: bytes, band: int | None) -> int:
         c = np.minimum.accumulate(np.concatenate(([cur0], best - js)))
         prev = c + j0
         if band is not None:
-            lo = int(prev.min())
-            if lo > band:
-                return lo  # bound only: "more than band"
-    return int(prev[m])
+            if int(prev.min()) > band:
+                return band + 1  # "more than band", clamped sane
+    d = int(prev[m])
+    return d if band is None or d <= band else band + 1
 
 
 def edit_similarity_pairs(
@@ -91,7 +106,10 @@ def edit_similarity_pairs(
 ) -> DataFrame:
     """pairs(a, b) + docs(doc_id, text) -> (a, b, edit_distance, edit_sim).
 
-    edit_sim = 1 - distance / max(len_a, len_b) in [0, 1]. Join shape is
+    edit_sim = 1 - distance / max(len_a, len_b) in [0, 1], with distance
+    and lengths both CHARACTER-level (texts are decoded to uint32 code
+    points before the DP) — the same contract as DuckDB/PostgreSQL
+    levenshtein(), on any corpus, not just ASCII. Join shape is
     identical to verify.exact_jaccard_pairs: two doc_id equi-joins pull
     the texts to the (bounded) pair set, then one mapInPandas pass.
     """
@@ -108,12 +126,14 @@ def edit_similarity_pairs(
             dist = np.empty(len(pdf), dtype=np.int64)
             sim = np.empty(len(pdf), dtype=np.float64)
             for i, (x, y) in enumerate(zip(pdf["text_a"], pdf["text_b"])):
-                bx = str(x).encode("utf-8")
-                by = str(y).encode("utf-8")
-                dv = _levenshtein(bx, by, band)
+                # utf-32-le bytes ARE the code-point array — one decode,
+                # zero-copy view, character-level DP symbols
+                cx = np.frombuffer(str(x).encode("utf-32-le"), dtype=np.uint32)
+                cy = np.frombuffer(str(y).encode("utf-32-le"), dtype=np.uint32)
+                dv = _levenshtein(cx, cy, band)
                 dist[i] = dv
-                mx = max(len(bx), len(by))
-                # banded early-exit can return a loose bound > mx; clamp
+                mx = max(len(cx), len(cy))
+                # band+1 can exceed mx on short texts; clamp sim to [0,1]
                 sim[i] = max(0.0, 1.0 - dv / mx) if mx else 1.0
             yield pd.DataFrame(
                 {"a": pdf["a"], "b": pdf["b"],

@@ -122,17 +122,24 @@ def bucket_pairs_grouped(
     )
     # hot buckets: R smallest ids are the representatives; broadcast
     # them back against the FULL membership so every member gets an edge
-    # without re-shuffling the big side. NB the broadcast hint is
-    # honored unconditionally — it is NOT auto-dropped at size: reps
-    # rows = R × (#hot buckets), fine up to ~10^7 rows; a corpus whose
-    # hot-bucket count exceeds that needs this hint removed (plain
-    # shuffle join — the per-bucket memory bound still holds, only the
-    # exchange count grows).
-    reps = grouped.where(n > cap).select(
+    # without re-shuffling the big side. The broadcast hint is honored
+    # unconditionally (NOT auto-dropped at size), so it is GUARDED at
+    # runtime: reps rows = R × (#hot buckets), counted cheaply on the
+    # already-persisted `grouped` (one job over a bounded cached frame);
+    # a corpus whose reps exceed config.max_broadcast_reps — e.g.
+    # adversarial simhash combo keys fanning out hot buckets — degrades
+    # to a plain shuffle join instead of failing on driver/broadcast
+    # memory. The per-bucket memory bound holds either way; only the
+    # exchange count grows on the fallback path.
+    hot = grouped.where(n > cap)
+    n_hot_buckets = hot.count()
+    reps = hot.select(
         *key_cols, F.explode(F.slice("ids", 1, r)).alias("a")
     )
+    if n_hot_buckets * r <= config.max_broadcast_reps:
+        reps = F.broadcast(reps)
     large_pairs = (
-        base.join(F.broadcast(reps), key_cols)
+        base.join(reps, key_cols)
         .where(F.col("a") < F.col("doc_id"))
         .select("a", F.col("doc_id").alias("b"))
     )

@@ -273,6 +273,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 1,
+    config=None,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets → within-bucket verify.
 
@@ -282,7 +283,24 @@ def embedding_near_dup_pairs(
     across `n_tables` independent tables (the reference's L-table loop,
     hclust.cpp:261-289, materialized as one array column + posexplode
     instead of L re-scans). Verify = exact cosine within bucket, JVM-side.
+
+    Hot-bucket bound: candidate pairing routes through the SAME
+    `bucket_pairs_grouped` policy as every other channel (MinHash bands,
+    SimHash combos) — buckets up to config.max_bucket_all_pairs emit
+    exact all-pairs; hotter buckets (a boilerplate-image corpus putting
+    thousands of near-identical embeddings into one bucket per table)
+    degrade to the connectivity-preserving star-R pairing at O(n·R)
+    output instead of an uncapped C(n,2) self-join blowup. Drops are
+    observable via candidates.dropped_pairs_metrics(keyed, ["bucket"],
+    config). Ref precedent for capping hot buckets:
+    pcluster/src/pcluster/pcluster.cpp:115-116 (500-hit cap).
+    Unit-normalization happens ONCE per vector (before pairing), not
+    once per bucket membership row.
     """
+    from hsearch_spark.config import DedupConfig
+    from hsearch_spark.operators.candidates import bucket_pairs_grouped
+
+    config = config or DedupConfig()
     # bucket keys pack n_planes sign bits in the low bits and the table
     # id at bit 48+ — overlap would silently merge buckets across tables
     if n_planes >= 48 or n_tables >= (1 << 15):
@@ -311,23 +329,18 @@ def embedding_near_dup_pairs(
         keys |= np.arange(n_tables, dtype=np.uint64) << np.uint64(48)
         return pd.Series(list(keys.astype(np.int64)))
 
-    bucketed = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
+    keyed = embeddings.select(
+        F.col(id_col).alias("doc_id"),
         F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
     )
-    norm = F.sqrt(
-        F.aggregate(F.col("vec"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    unit = bucketed.select(
-        "bucket", "id", F.transform("vec", lambda x: x / norm).alias("vec")
-    )
-    x = unit.select("bucket", F.col("id").alias("a"), F.col("vec").alias("va"))
-    y = unit.select("bucket", F.col("id").alias("b"), F.col("vec").alias("vb"))
+    # bucket_pairs_grouped already dedups pairs across tables (test-once)
+    pairs = bucket_pairs_grouped(keyed, ["bucket"], config)
+    unit = _unit_normalized(embeddings, id_col, vec_col, "id", "vec")
+    va = unit.select(F.col("id").alias("a"), F.col("vec").alias("va"))
+    vb = unit.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
     return (
-        x.join(y, "bucket")
-        .where(F.col("a") < F.col("b"))
+        pairs.join(va, "a")
+        .join(vb, "b")
         .select("a", "b", _dot("va", "vb").alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["a", "b"])
     )

@@ -79,9 +79,21 @@ def salted_agg(
     Results are identical to df.groupBy(keys).agg(...); the difference
     is purely physical: phase 1 shards each hot key across salt_factor
     reducers, so no single task aggregates a whole hot key.
+
+    The salt is a pure function of the NON-key columns (falling back to
+    the keys when there are none) — never monotonically_increasing_id(),
+    whose value depends on partition layout and row order: a stage retry
+    after executor loss would re-salt rows differently, making phase-1
+    output indeterminate (Spark must rollback-and-recompute indeterminate
+    stages, and it forfeits the determinism the rest of the repo
+    guarantees). Content-derived salts survive retries bit-identically.
+    Rows of a hot key with identical non-key content collapse onto one
+    salt, but identical rows also collapse in the partial aggregate
+    map-side, so the per-reducer load stays bounded either way.
     """
+    non_keys = [c for c in df.columns if c not in keys]
     salt = F.pmod(
-        F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()),
+        F.xxhash64(*[F.col(c) for c in (non_keys or keys)]),
         F.lit(salt_factor),
     ).alias("_salt")
 

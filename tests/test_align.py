@@ -71,3 +71,34 @@ def test_edit_similarity_pairs_operator(spark):
     assert got[(1, 3)][0] == _ref_lev(
         "the quick brown fox", "totally different words"
     )
+
+
+def test_kernel_char_level_unicode():
+    import numpy as np
+
+    def cp(s):
+        return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+
+    # 3-byte CJK chars: byte-level DP would report 3 per substitution
+    assert _levenshtein(cp("日本語"), cp("日本誤"), None) == 1
+    assert _levenshtein(cp("héllo"), cp("hello"), None) == 1
+
+
+def test_banded_early_exit_clamped_to_band_plus_one():
+    # far-apart strings: result must be exactly band+1, never a BIG bound
+    assert _levenshtein(b"aaaaaaaaaa", b"bbbbbbbbbb", band=2) == 3
+    # length-gap short-circuit too
+    assert _levenshtein(b"aaaaaaaaaaaaaaaaaaaa", b"a", band=4) == 5
+
+
+def test_edit_similarity_pairs_unicode(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "日本語のテキスト"), (2, "日本語のテキスス")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    row = edit_similarity_pairs(pairs, docs).collect()[0]
+    assert row["edit_distance"] == 1  # char-level, not byte-level (3)
+    assert row["edit_sim"] == _pytest.approx(1 - 1 / 8)

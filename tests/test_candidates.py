@@ -127,3 +127,18 @@ def test_simhash_candidates_hamming_gate(spark):
     )
     got = simhash_candidates(sigs, DedupConfig()).collect()
     assert {(r["a"], r["b"]) for r in got} == {(1, 2)}
+
+
+def test_broadcast_guard_fallback_same_pairs(spark):
+    # one hot bucket; max_broadcast_reps=0 forces the plain-join fallback
+    rows = [(d, 0, 7) for d in range(100)]
+    cfg = DedupConfig(max_bucket_all_pairs=8, star_representatives=3)
+    cfg_nobc = DedupConfig(
+        max_bucket_all_pairs=8, star_representatives=3, max_broadcast_reps=0
+    )
+    bc = candidate_pairs(_bands(spark, rows), cfg)
+    plain = candidate_pairs(_bands(spark, rows), cfg_nobc)
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    assert {(r["a"], r["b"]) for r in bc.collect()} == {
+        (r["a"], r["b"]) for r in plain.collect()
+    }

@@ -62,3 +62,24 @@ def test_weighted_recall(spark):
     m_w = recall_metrics(pred, truth, weight_col="w")
     assert m_w["recall"] == pytest.approx(3.0 / 4.0)
     assert m_w["tp"] == 1 and m_w["fn"] == 1
+
+
+def test_validate_banding_escape_hatch():
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = DedupConfig(jaccard_threshold=0.5, validate_banding=False)
+    assert any("mis-tuned" in str(x.message) for x in w)
+    assert cfg.jaccard_threshold == 0.5
+
+
+def test_config_hash_ignores_physical_knobs():
+    base = DedupConfig()
+    assert (
+        DedupConfig(validate_banding=True).config_hash()
+        == DedupConfig(max_broadcast_reps=123).config_hash()
+        == base.config_hash()
+    )
+    # semantic knobs DO change the hash
+    assert DedupConfig(shingle_k=7).config_hash() != base.config_hash()

@@ -31,11 +31,36 @@ def plan_str(df, mode: str = "formatted") -> str:
 
 
 def n_exchanges(df) -> int:
-    # formatted mode prints each node twice (tree sketch + detail section);
-    # count only the detail headers "(n) Exchange"
+    # Count Exchange nodes in the tree sketch, EXCLUDING "== Initial
+    # Plan ==" sections: a materialized InMemoryRelation (e.g. after the
+    # broadcast-guard count in bucket_pairs_grouped) prints both its
+    # executed Final Plan and the never-executed Initial Plan, and
+    # counting the latter would double-charge the cache's one shuffle.
     import re
 
-    return len(re.findall(r"^\(\d+\) Exchange", plan_str(df), re.M))
+    marks = " :+-|"
+    skip_indents: list[int] = []
+    ids: set[str] = set()
+    tree = plan_str(df).split("\n\n")[0]
+    for line in tree.splitlines():
+        stripped = line.lstrip(marks)
+        indent = len(line) - len(stripped)
+        # children of the marker print at >= the marker's stripped indent
+        # (the first child at exactly equal indent), so pop only when the
+        # tree returns to a strictly shallower node
+        while skip_indents and indent < skip_indents[-1]:
+            skip_indents.pop()
+        if "== Initial Plan ==" in line:
+            skip_indents.append(indent)
+            continue
+        if skip_indents:
+            continue
+        m = re.match(r"Exchange \((\d+)\)", stripped)
+        if m:
+            # unique node ids: a shared InMemoryRelation prints its one
+            # internal shuffle under every consumer branch
+            ids.add(m.group(1))
+    return len(ids)
 
 
 def test_documents_scan_prunes_columns(spark):

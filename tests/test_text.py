@@ -98,3 +98,23 @@ def test_lang_id(spark):
     )
     langs = [r["l"] for r in df.select(lang_id_col(F.col("text")).alias("l")).collect()]
     assert langs == ["en", "de", "fr", "und"]
+
+
+def test_lang_id_frame_model_passthrough(spark):
+    from hsearch_spark.functions.text import lang_id_frame
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is here", None),
+         (2, "the cat and the dog is here", "sw"),
+         (3, "xyzzy", "fi")],
+        "doc_id long, text string, model_lang string",
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id_frame(df).collect()}
+    # null model prediction → marker heuristic fills the gap
+    assert got[1] == "en"
+    # non-null model prediction wins over the heuristic
+    assert got[2] == "sw" and got[3] == "fi"
+    # no model column at all → pure heuristic
+    no_model = df.drop("model_lang")
+    got2 = {r["doc_id"]: r["pred_lang"] for r in lang_id_frame(no_model).collect()}
+    assert got2[1] == "en" and got2[3] == "und"
