@@ -8,11 +8,14 @@ KLSH probe search, hclust/src/hclust/kmer_search.cpp:100-120: hash the
 query, search only its buckets).
 
 Plan shape:
-- centroids: n_lists vectors picked DETERMINISTICALLY (smallest
-  xxhash64(id, seed)) — a seeded uniform sample; k-means would place
-  better centroids but needs iterative training, and the IVF plumbing
-  (the part Spark cares about) is identical. Centroids are tiny
-  (n_lists × d) and broadcast in UDF closures.
+- centroids: seeded deterministic sample (smallest xxhash64(id, seed))
+  refined by a few distributed spherical k-means iterations
+  (train_iters, default 4): assign = one numpy GEMM per Arrow batch,
+  update = fixed-point partial sums combined by list. Over-full lists
+  (centroid skew — the boilerplate-image failure mode) are SPLIT
+  (centroid ± seeded perturbation) and re-settled, so no manual
+  re-centroiding lever is needed. Centroids are tiny (≤ a few × n_lists
+  × d) and broadcast in UDF closures.
 - assign: every vector → nearest centroid list (one numpy GEMM per
   Arrow batch). This is the inverted file, partitioned by list_id.
 - probe: every query → its n_probe nearest lists (same GEMM), exploded.
@@ -40,7 +43,8 @@ def _centroids(
 ) -> np.ndarray:
     """(n_lists, d) unit-normalized centroid matrix — deterministic
     seeded sample (smallest xxhash64(id, seed)); bounded driver
-    materialization of n_lists rows only."""
+    materialization of n_lists rows only. k-means INIT only — see
+    train_centroids for the refinement pass."""
     rows = (
         embeddings.select(id_col, vec_col)
         .withColumn("_h", F.xxhash64(F.col(id_col), F.lit(seed)))
@@ -54,6 +58,127 @@ def _centroids(
     return mat / norms
 
 
+# fixed-point scale for the k-means update accumulator: unit-norm
+# components are |x| <= 1, so scaled |x| <= 2^40 and an int64 sum stays
+# exact and overflow-free up to ~4M members per list per partial chain —
+# and integer addition is associative/commutative, so the combined sum is
+# BIT-IDENTICAL regardless of partitioning, batch boundaries, or shuffle
+# arrival order (float accumulation would round differently per run and
+# break the cross-parallelism determinism the repo guarantees).
+_FIX = float(1 << 40)
+
+
+def _kmeans_pass(unit: DataFrame, cents: np.ndarray) -> list:
+    """One spherical k-means assign+update pass. Returns the collected
+    [(list_id, n_members, sum_bytes)] rows — n_lists rows max at the
+    driver; all heavy work (GEMM assign, fixed-point partial sums,
+    per-list combine) is distributed."""
+    d = cents.shape[1]
+
+    def partials(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            lists = np.argmax(m @ cents.T, axis=1)  # ties → lowest index
+            fixed = np.round(m * _FIX).astype(np.int64)
+            uniq = np.unique(lists)
+            yield pd.DataFrame(
+                {
+                    "list_id": uniq.astype(np.int32),
+                    "n": [int((lists == li).sum()) for li in uniq],
+                    "s": [fixed[lists == li].sum(axis=0).tobytes() for li in uniq],
+                }
+            )
+
+    def combine(key, pdf):
+        s = np.zeros(d, dtype=np.int64)
+        for blob in pdf["s"]:
+            s += np.frombuffer(blob, dtype=np.int64)
+        return pd.DataFrame(
+            {"list_id": [key[0]], "n": [int(pdf["n"].sum())], "s": [s.tobytes()]}
+        )
+
+    return (
+        unit.mapInPandas(partials, "list_id int, n long, s binary")
+        .groupBy("list_id")
+        .applyInPandas(combine, "list_id int, n long, s binary")
+        .collect()
+    )
+
+
+def train_centroids(
+    unit: DataFrame,
+    n_lists: int,
+    seed: int,
+    n_total: int,
+    init: np.ndarray,
+    train_iters: int = 4,
+    split_oversize: float | None = 4.0,
+    max_split_rounds: int = 3,
+) -> np.ndarray:
+    """Spherical k-means over unit(id, v) + oversized-list splitting.
+
+    The reference's probe search assumes meaningful precomputed centers
+    (hclust/src/hclust/kmer_search.cpp:215-227 reads a centers file);
+    a seeded uniform sample is a poor stand-in — it both costs recall at
+    low n_probe and creates centroid skew (one sampled point in a dense
+    region swallows the region). Training:
+
+    - assign: argmax cosine against broadcast centroids — one GEMM per
+      Arrow batch (the probe kernel with n_probe=1).
+    - update: per-batch partial sums in FIXED-POINT int64 (see _FIX) →
+      per-list distributed combine → n_lists rows collected; new
+      centroid = mean, re-normalized (spherical k-means). Empty lists
+      keep their previous centroid.
+    - split: after training, any list holding more than
+      split_oversize × (n_total / n_lists) members is split — centroid
+      ± a seeded perturbation — and the pair re-settled with 2 more
+      k-means iterations; repeated up to max_split_rounds. This bounds
+      the per-list cogroup in the search join STRUCTURALLY instead of
+      documenting a manual "re-centroid by hand" lever.
+    """
+    cents = init
+    for _ in range(max(0, train_iters)):
+        rows = _kmeans_pass(unit, cents)
+        cents = _update(cents, rows)
+    if split_oversize is None:
+        return cents
+    for _ in range(max_split_rounds):
+        rows = _kmeans_pass(unit, cents)
+        sizes = {int(r["list_id"]): int(r["n"]) for r in rows}
+        cap = max(1.0, split_oversize * n_total / cents.shape[0])
+        over = sorted(li for li, n in sizes.items() if n > cap)
+        if not over:
+            break
+        extra = []
+        for li in over:
+            rng = np.random.default_rng(np.random.PCG64(seed * 1_000_003 + li))
+            delta = rng.standard_normal(cents.shape[1]) * 1e-2
+            plus, minus = cents[li] + delta, cents[li] - delta
+            cents[li] = plus / max(np.linalg.norm(plus), 1e-12)
+            extra.append(minus / max(np.linalg.norm(minus), 1e-12))
+        cents = np.vstack([cents, np.stack(extra)])
+        for _ in range(2):  # settle the split pairs
+            rows = _kmeans_pass(unit, cents)
+            cents = _update(cents, rows)
+    return cents
+
+
+def _update(cents: np.ndarray, rows: list) -> np.ndarray:
+    out = cents.copy()
+    for r in rows:
+        n = int(r["n"])
+        if n == 0:
+            continue
+        s = np.frombuffer(r["s"], dtype=np.int64).astype(np.float64) / _FIX
+        c = s / n
+        norm = np.linalg.norm(c)
+        if norm > 1e-12:
+            out[int(r["list_id"])] = c / norm
+    return out
+
+
 def ivf_topk(
     embeddings: DataFrame,
     k: int,
@@ -62,19 +187,27 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 4,
+    split_oversize: float | None = 4.0,
 ) -> DataFrame:
     """Approximate cosine top-k of every vector against the table.
 
     Returns (a, b, cos_sim, rnk) like cosine_topk_blocked; rnk ranks the
     candidates actually probed, so recall@k < 1 when n_probe < n_lists.
+    Centroids are k-means-trained (train_iters passes) with oversized
+    lists split (see train_centroids) — train_iters=0, split_oversize=
+    None recovers the raw seeded-sample quantizer. Requesting
+    n_probe == n_lists means EXHAUSTIVE search and stays exhaustive even
+    when splitting grew the list count (exactness at full probe is the
+    oracle contract, independent of centroid quality).
     """
     if n_probe > n_lists:
         raise ValueError("n_probe must be <= n_lists")
+    full_probe = n_probe == n_lists
     if embeddings.isEmpty():
         return embeddings.sparkSession.createDataFrame(
             [], "a long, b long, cos_sim double, rnk int"
         )
-    cents = _centroids(embeddings, n_lists, seed, id_col, vec_col)
 
     raw_norm = F.sqrt(
         F.aggregate(
@@ -90,23 +223,37 @@ def ivf_topk(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: x.cast("double") / norm).alias("v"),
     )
+    # unit vectors are consumed by every training pass AND the probe
+    # stage — persist once (bounded_persist evicts prior-call caches)
+    from hsearch_spark.utils import bounded_persist
+
+    unit = bounded_persist(unit, "ann.ivf_topk.unit")
+    n_total = unit.count()  # materializes the persist; bounded-cost
+
+    cents = _centroids(embeddings, n_lists, seed, id_col, vec_col)
+    cents = train_centroids(
+        unit,
+        n_lists,
+        seed,
+        n_total,
+        cents,
+        train_iters=train_iters,
+        split_oversize=split_oversize,
+    )
+    actual_probe = cents.shape[0] if full_probe else n_probe
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def probe_udf(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy())  # already unit vectors
         sims = m @ cents.T  # (batch, n_lists)
-        # n_probe nearest lists, deterministic tie-break by list index
+        # nearest lists, deterministic tie-break by list index
         order = np.lexsort(
             (np.broadcast_to(np.arange(cents.shape[0]), sims.shape), -sims),
             axis=1,
-        )[:, :n_probe]
+        )[:, :actual_probe]
         return pd.Series(list(order.astype(np.int32)))
 
-    # both the inverted file and the probe side consume `probed`;
-    # persist so normalization + probe GEMM run once (bounded_persist
-    # evicts caches from prior calls at this site)
-    from hsearch_spark.utils import bounded_persist
-
+    # both the inverted file and the probe side consume `probed`
     probed = bounded_persist(
         unit.withColumn("lists", probe_udf("v")), "ann.ivf_topk"
     )
@@ -127,9 +274,9 @@ def ivf_topk(
     # materialized as rows, the scoring is a numpy matmul, and only each
     # query's per-list top-k leaves the task (same total-order
     # (-cos, id) selection as the final merge, so nothing in the global
-    # top-k is lost). A pathologically popular list bounds the group at
-    # |probers| + |members| rows; re-centroiding (more lists) is the
-    # production lever against centroid skew.
+    # top-k is lost). List population is bounded STRUCTURALLY by the
+    # oversized-list splitting in train_centroids (split_oversize ×
+    # average), so the per-group memory here is capped by construction.
     def per_list_topk(key, q_pdf, m_pdf):
         if len(q_pdf) == 0 or len(m_pdf) == 0:
             return pd.DataFrame({"a": [], "b": [], "cos_sim": []})

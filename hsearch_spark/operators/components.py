@@ -86,39 +86,61 @@ def connected_components(
     re-run after a mid-CC crash reads completed iterations back and
     continues from the first missing one (the loop is deterministic, so
     the replayed termination check decides identically).
+
+    Driver-action budget (the serial fraction that caps N→4N scaling —
+    each collect is a full stage barrier the whole cluster idles behind):
+    - store=None: ONE job per iteration — the checkpoint is LAZY
+      (eager=False) and the count+hash convergence aggregate is the
+      action that materializes it, instead of an eager-checkpoint job
+      followed by a separate aggregate job.
+    - store=StageStore: the parquet write is the only per-iteration job;
+      the row count is read back from the _LINEAGE.json sidecar (already
+      computed for lineage metrics) for FREE, and the content hash —
+      needed only to confirm convergence — is computed solely when two
+      consecutive counts agree, i.e. once or twice per run near
+      convergence, over an already-small converged edge table.
     """
 
-    def _persist(df: DataFrame, name: str) -> DataFrame:
-        if store is not None:
-            return store.materialize(name, lambda: df)
-        return df.localCheckpoint()
+    def _hash(df: DataFrame) -> int:
+        row = df.agg(
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h")
+        ).collect()[0]
+        return int(row["h"])
 
-    e = _persist(
+    def _persist(df: DataFrame, name: str) -> tuple[DataFrame, int, int | None]:
+        """Materialize one iteration; returns (frame, n_rows, hash|None).
+        hash is None when deferred (store path — computed on demand)."""
+        if store is not None:
+            out = store.materialize(name, lambda: df)
+            return out, int(store.metrics[name]["rows"]), None
+        out = df.localCheckpoint(eager=False)
+        row = out.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return out, int(row["n"]), int(row["h"])
+
+    e, n, h = _persist(
         edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct(),
         "cc/iter_000",
     )
-    if e.isEmpty():
+    if n == 0:
         spark = edges.sparkSession
         return spark.createDataFrame([], "doc_id long, cluster_id long")
 
-    def _state(df: DataFrame) -> tuple[int, int]:
-        row = df.agg(
-            F.count("*").alias("n"),
-            F.coalesce(
-                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
-            ).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
-
-    prev = None
+    prev_e, prev_n, prev_h = e, n, h
     for i in range(max_iter):
-        e = _persist(_small_star(_large_star(e)), f"cc/iter_{i + 1:03d}")
-        cur = _state(e)
-        if cur == prev:
-            break
-        prev = cur
+        e, n, h = _persist(_small_star(_large_star(prev_e)), f"cc/iter_{i + 1:03d}")
+        if n == prev_n:
+            # counts agree — confirm with content hashes (computed lazily
+            # on the store path; both frames are materialized and small)
+            h = _hash(e) if h is None else h
+            prev_h = _hash(prev_e) if prev_h is None else prev_h
+            if h == prev_h:
+                break
+        prev_e, prev_n, prev_h = e, n, h
     # converged: every edge is (member, component_min)
     members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))

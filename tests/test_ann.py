@@ -35,12 +35,58 @@ def test_ivf_full_probe_is_exact(spark):
 
 
 def test_ivf_recall_reasonable(spark):
+    # quarter-probe recall floor with TRAINED centroids (was 0.8 with the
+    # raw seeded sample — training must lift it, pinned here)
     e = _blobs(spark, n=400)
     exact = _topk_sets(cosine_topk_bruteforce(e, k=5), 5)
     ivf = _topk_sets(ivf_topk(e, k=5, n_lists=16, n_probe=4), 5)
     hits = sum(len(ivf.get(a, set()) & nb) for a, nb in exact.items())
     total = sum(len(nb) for nb in exact.values())
-    assert hits / total >= 0.8, f"recall@5 {hits / total:.3f}"
+    assert hits / total >= 0.9, f"recall@5 {hits / total:.3f}"
+
+
+def test_ivf_training_improves_recall(spark):
+    e = _blobs(spark, n=400)
+    exact = _topk_sets(cosine_topk_bruteforce(e, k=5), 5)
+
+    def recall(df):
+        ivf = _topk_sets(df, 5)
+        hits = sum(len(ivf.get(a, set()) & nb) for a, nb in exact.items())
+        return hits / sum(len(nb) for nb in exact.values())
+
+    untrained = recall(
+        ivf_topk(e, k=5, n_lists=16, n_probe=2, train_iters=0, split_oversize=None)
+    )
+    trained = recall(ivf_topk(e, k=5, n_lists=16, n_probe=2))
+    assert trained >= untrained - 1e-9, (trained, untrained)
+
+
+def test_ivf_oversized_list_split(spark):
+    # 90% of vectors in one tight clump → the clump's list exceeds the
+    # size cap and must be split so no list dominates
+    rng = np.random.default_rng(9)
+    clump = rng.standard_normal(16) * 3
+    rows = [
+        (i, [float(x) for x in clump + rng.standard_normal(16) * 0.05])
+        for i in range(360)
+    ] + [
+        (1000 + i, [float(x) for x in rng.standard_normal(16) * 3])
+        for i in range(40)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from hsearch_spark.operators.ann import _centroids, train_centroids
+    from pyspark.sql import functions as F
+
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    unit = e.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x / norm).alias("v"),
+    )
+    init = _centroids(e, 8, 42, "vec_id", "embedding")
+    cents = train_centroids(
+        unit, 8, 42, 400, init, train_iters=2, split_oversize=2.0
+    )
+    assert cents.shape[0] > 8, "oversized clump list was never split"
 
 
 def test_ivf_deterministic(spark):
