@@ -362,6 +362,38 @@ def q_recall_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recall_by_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall binned by similarity decile — the reference evaluator's
+    per-distance accuracy table (`tp_map[int(dis*10)]++`,
+    hclust/src/hclust/motif_both_points.cpp:154-162), which shows WHERE
+    on the S-curve a channel loses pairs instead of one scalar recall.
+
+    truth = embedding pairs at cosine >= 0.3 carrying their cosine;
+    pred = the same pairs at the stricter >= 0.45 — so the bin table
+    exposes exactly which cosine decile the stricter gate abandons."""
+    from hsearch_spark.operators.evaluate import recall_by_bin
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = emb.select("vec_id", F.transform("v", lambda x: x / norm).alias("v"))
+    e = unit.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    f = unit.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    truth = (
+        e.crossJoin(f)
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", dot.alias("cos"))
+        .where(F.col("cos") >= 0.3)
+    )
+    pred = truth.where(F.col("cos") >= 0.45).select("a", "b")
+    return recall_by_bin(pred, truth, "cos", n_bins=10)
+
+
 def q_distinct_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9/U1: distinct-token enumeration per language."""
     d = _docs(spark, sf_dir)
@@ -626,8 +658,9 @@ def q_edit_similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3/V4 analog: exact edit-distance scoring of an already-blocked
     candidate pair set (pairs sharing (lang, n_chars)) — ranked near-dup
     review scores, not just a threshold gate (ref banded alignment,
-    hash_search.cpp:661-948). Byte-level DP == DuckDB's char-level
-    levenshtein on this ASCII corpus."""
+    hash_search.cpp:661-948). The DP operates on Unicode code points,
+    so it equals DuckDB's char-level levenshtein on ANY corpus, not
+    just ASCII ones."""
     from hsearch_spark.operators.align import edit_similarity_pairs
 
     raw = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
@@ -891,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_order_price": q_median_order_price,
         "event_sessions": q_event_sessions,
         "recall_confusion": q_recall_confusion,
+        "recall_by_bin": q_recall_by_bin,
         "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
         "repeated_windows": q_repeated_windows,
         "bucket_size_histogram": q_bucket_size_histogram,
@@ -1095,6 +1129,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN predicted AND NOT actual THEN 1 ELSE 0 END) AS BIGINT) AS fp,
                    CAST(sum(CASE WHEN NOT predicted AND actual THEN 1 ELSE 0 END) AS BIGINT) AS fn
             FROM conf
+        """,
+        "recall_by_bin": """
+            WITH pairs AS (
+              SELECT x.vec_id AS a, y.vec_id AS b,
+                     list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                            CAST(y.embedding AS DOUBLE[])) AS cos
+              FROM embeddings x, embeddings y
+              WHERE x.vec_id < y.vec_id
+            ), truth AS (
+              SELECT * FROM pairs WHERE cos >= 0.3
+            ), binned AS (
+              SELECT least(CAST(floor(cos * 10) AS INTEGER), 9) AS bin,
+                     CASE WHEN cos >= 0.45 THEN 1 ELSE 0 END AS tp_flag
+              FROM truth
+            )
+            SELECT bin,
+                   bin / 10.0 AS bin_lo,
+                   CAST(sum(tp_flag) AS BIGINT) AS tp,
+                   CAST(sum(1 - tp_flag) AS BIGINT) AS fn,
+                   CAST(sum(tp_flag) AS DOUBLE) /
+                     CAST(sum(tp_flag) + sum(1 - tp_flag) AS DOUBLE) AS recall
+            FROM binned GROUP BY bin ORDER BY bin
         """,
         "distinct_tokens_per_lang": f"""
             SELECT lang, count(DISTINCT tok) AS n_distinct_tokens

@@ -81,6 +81,45 @@ def recall_metrics(
     }
 
 
+def recall_by_bin(
+    pred: DataFrame,
+    truth: DataFrame,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Recall binned by similarity score: (bin, bin_lo, tp, fn, recall).
+
+    The reference's evaluator reports accuracy per distance decile
+    (`tp_map[int(dis*10)]++`, hclust/src/hclust/motif_both_points.cpp:
+    154-162) so you can see WHERE on the S-curve the sketch loses pairs
+    — a scalar recall hides a channel that is perfect at J=0.9 but
+    blind at J=0.55. `score_col` is a column of `truth` in [0, 1];
+    scores of exactly 1.0 fold into the top bin. Predicted-only rows
+    (false positives) carry no truth score and are excluded — this is a
+    recall breakdown, precision stays global (recall_metrics)."""
+    conf = pair_confusion(pred, truth, carry_cols=(score_col,))
+    bin_col = F.least(
+        F.floor(F.col(score_col) * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    pred_f = F.col("predicted")
+    return (
+        conf.where(F.col("actual"))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.sum(F.when(pred_f, 1).otherwise(0)).alias("tp"),
+            F.sum(F.when(~pred_f, 1).otherwise(0)).alias("fn"),
+        )
+        .select(
+            "bin",
+            (F.col("bin").cast("double") / n_bins).alias("bin_lo"),
+            "tp",
+            "fn",
+            (F.col("tp") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        )
+        .orderBy("bin")
+    )
+
+
 def cluster_pairs(assignments: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) -> implied (a,b) dup pairs via star expansion:
     every member pairs with the cluster min — O(n) per cluster, carries

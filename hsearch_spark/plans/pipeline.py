@@ -32,7 +32,7 @@ from hsearch_spark.operators.components import assign_clusters, connected_compon
 from hsearch_spark.operators.dedup import exact_duplicate_pairs
 from hsearch_spark.operators.substring import substring_edges
 from hsearch_spark.operators.verify import verify_pairs
-from hsearch_spark.sources.io import StageStore
+from hsearch_spark.sources.io import StageStore, input_fingerprint
 
 
 @dataclass
@@ -53,8 +53,16 @@ def run_dedup(
 ) -> DedupResult:
     """Full pipeline. If work_dir is set, stages checkpoint + resume there."""
     config = config or DedupConfig()
+    # the fingerprint binds checkpoints to THIS input: same config +
+    # work_dir over different data recomputes instead of silently
+    # resuming stale stages (costs one agg scan, only when checkpointing)
     store = (
-        StageStore(spark, work_dir, config.config_hash()) if work_dir else None
+        StageStore(
+            spark, work_dir, config.config_hash(),
+            input_fingerprint=input_fingerprint(pages),
+        )
+        if work_dir
+        else None
     )
     timings: dict[str, float] = {}
 
@@ -84,25 +92,50 @@ def run_dedup(
         lambda: candidate_pairs(explode_bands(sigs, config), config),
     )
 
-    def build_edges() -> DataFrame:
-        minhash_edges = verify_pairs(cands, sigs, docs, config, method="minhash")
-        exact_edges = exact_duplicate_pairs(docs).select(
+    # The edge channels (minhash-verify, exact pairs, simhash, substring)
+    # are INDEPENDENT until the final best-edge union — each consumes only
+    # already-checkpointed stages (cands/sigs/docs). Materialize them
+    # CONCURRENTLY from driver threads (Spark supports multi-threaded job
+    # submission; stages of different jobs interleave across the
+    # cluster), so one channel's shuffle barrier doesn't idle the cores
+    # the other channels could use — this is the serial-fraction cut that
+    # the N→4N scaling efficiency target depends on. Each channel is its
+    # own StageStore stage ("edges_<name>"), so resume granularity
+    # improves too: a crash during the substring channel doesn't redo the
+    # minhash verify.
+    channels: dict[str, object] = {
+        "edges_minhash": lambda: verify_pairs(
+            cands, sigs, docs, config, method="minhash"
+        ),
+        "edges_exact": lambda: exact_duplicate_pairs(docs).select(
             "a", "b", F.lit(1.0).alias("jaccard"), F.lit("exact").alias("method")
+        ),
+    }
+    if enable_simhash_channel:
+        channels["edges_simhash"] = lambda: verify_pairs(
+            simhash_candidates(sigs, config), sigs, docs, config, method="simhash"
         )
-        e = minhash_edges.unionByName(exact_edges)
-        if enable_simhash_channel:
-            sim_cands = simhash_candidates(sigs, config)
-            e = e.unionByName(
-                verify_pairs(sim_cands, sigs, docs, config, method="simhash")
-            )
-        if enable_substring_channel:
-            sub = substring_edges(sigs, config).select(
-                "a",
-                "b",
-                F.lit(None).cast("double").alias("jaccard"),
-                F.lit("substring").alias("method"),
-            )
-            e = e.unionByName(sub)
+    if enable_substring_channel:
+        channels["edges_substring"] = lambda: substring_edges(sigs, config).select(
+            "a",
+            "b",
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit("substring").alias("method"),
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(channels)) as pool:
+        futures = {
+            name: pool.submit(stage, name, build)
+            for name, build in channels.items()
+        }
+        parts = {name: f.result() for name, f in futures.items()}
+
+    def build_edges() -> DataFrame:
+        e = None
+        for part in parts.values():
+            e = part if e is None else e.unionByName(part)
         # one row per pair; keep the strongest evidence (min_by on method
         # rank — exact > minhash > simhash > substring)
         rank = F.when(F.col("method") == "exact", 0).when(

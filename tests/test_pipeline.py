@@ -107,6 +107,27 @@ def test_checkpoint_resume(spark, tmp_path):
     assert sum(lineage["files"].values()) == len(c1)
 
 
+def test_changed_input_invalidates_checkpoints(spark, tmp_path):
+    """Same config + same work_dir + DIFFERENT input must recompute,
+    never read back the first input's stages (the sidecar records an
+    input fingerprint alongside the config hash)."""
+    work = str(tmp_path / "work")
+    p1, _ = pages_dataframe(spark, n_docs=120, seed=3)
+    run_dedup(spark, p1, work_dir=work)
+    p2, _ = pages_dataframe(spark, n_docs=90, seed=31)
+    r2 = run_dedup(spark, p2, work_dir=work)
+    assert "resumed" not in r2.metrics["stages"]["docs"]
+    assert r2.clusters.count() == 90
+    # fresh reference run: the reused work_dir changed nothing
+    ref = run_dedup(spark, p2)
+    assert {
+        (r["doc_id"], r["cluster_id"]) for r in r2.clusters.collect()
+    } == {(r["doc_id"], r["cluster_id"]) for r in ref.clusters.collect()}
+    # and the SAME input still resumes (fingerprint is order-insensitive)
+    r3 = run_dedup(spark, p2.repartition(7), work_dir=work)
+    assert r3.metrics["stages"]["docs"].get("resumed") is True
+
+
 def test_mid_cc_crash_resume(spark, tmp_path):
     """Kill the run mid-CC (simulated: wipe the clusters stage and the
     LAST completed CC iterations, keeping earlier ones) → the re-run
