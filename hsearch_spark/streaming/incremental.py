@@ -10,29 +10,52 @@ Design (foreachBatch — the right tool when a batch needs arbitrary
 DataFrame ops + idempotent sink writes):
 
 1. persisted state = the `sigs` and `bands` tables of all docs indexed
-   so far (parquet in-sandbox, Iceberg in production; appends only).
+   so far (parquet in-sandbox, Iceberg in production; appends only),
+   PLUS a bounded `clusters` snapshot (non-singleton assignments only).
+   State tables are HASH-BUCKET PARTITIONED (hive layout
+   `batch_id=N/state_bucket=K/`): bands by pmod(xxhash64(band_id,
+   band_hash), B), sigs/docs by pmod(xxhash64(doc_id), B). A micro-batch
+   first computes WHICH buckets it touches (≤ B driver-side values) and
+   reads only those partitions — at a crawl's steady state (small batch
+   vs huge corpus) the probe join scans a fraction of the state instead
+   of all of it, and the fraction shrinks as B grows.
 2. per micro-batch:
    a. extract + signature the new pages (same seeded config — signatures
       are append-compatible forever),
    b. candidates = new-batch self-join  ∪  (new bands ⋈ indexed bands)
       — the probe join is the reference's center-probe pattern
-      (kmer_search.cpp:100-121): small new side against the big indexed
-      side, shuffle on band_hash,
-   c. exact-verify, append verified edges to the edge table,
-   d. append the new sigs/bands to state.
-3. cluster assignments are recomputed from the cumulative edge table on
-   demand (CC is cheap relative to signature+join work); incremental CC
-   (merging only affected components) is a straightforward extension —
-   new edges only ever merge existing clusters, never split them.
+      (kmer_search.cpp:100-121): small new side against the PRUNED
+      indexed side, shuffle on band_hash,
+   c. exact-verify (texts pulled only for candidate ids, again
+      bucket-pruned), append verified edges to the edge table,
+   d. MERGE-ONLY incremental CC: new edges are contracted through the
+      existing assignment snapshot (endpoint → its cluster root); edges
+      whose endpoints already share a root drop out; connected
+      components runs on the tiny contracted remainder only, and the
+      resulting root-remap is applied to the snapshot. New edges can
+      only ever MERGE clusters, never split them, so this is exact —
+      the O(all-edges-ever) CC recompute of the naive design never runs.
+   e. append the new sigs/bands/docs to state; write the new clusters
+      snapshot keyed by batch_id.
+3. `compact_state()` rewrites the many small per-batch files into one
+   partitioned layout (what Iceberg's rewrite_data_files maintenance
+   action does) — run it on whatever cadence file counts demand.
+
+Determinism: cluster_id = min(doc_id) of the component is preserved
+inductively — old roots are component minima, new docs enter as their
+own id, and a merge takes the min of the merged roots.
 
 Watermarks/late data: dedup state is keyed by content, not event time —
 a "late" page is just a new page; no watermark needed. Exactly-once:
-batch_id-keyed append directories make retried batches idempotent.
+batch_id-keyed append directories make retried batches idempotent, and
+a batch's cluster snapshot is derived from snapshots with batch_id
+strictly below its own, so a retry rebuilds the identical snapshot.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,30 +72,154 @@ class IncrementalDedup:
     (process_batch is a pure batch function, as foreachBatch bodies are)."""
 
     def __init__(
-        self, spark: SparkSession, state_dir: str, config: DedupConfig | None = None
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        config: DedupConfig | None = None,
+        n_state_buckets: int = 64,
     ) -> None:
         self.spark = spark
         self.state_dir = state_dir
         self.config = config or DedupConfig()
+        self.n_state_buckets = n_state_buckets
         os.makedirs(state_dir, exist_ok=True)
+
+    # ---------------- state layout ----------------
 
     def _path(self, name: str) -> str:
         return os.path.join(self.state_dir, name)
 
-    def _read_state(self, name: str) -> DataFrame | None:
+    def _band_bucket(self):
+        return F.pmod(
+            F.xxhash64("band_id", "band_hash"), F.lit(self.n_state_buckets)
+        ).cast("int")
+
+    def _doc_bucket(self, col: str = "doc_id"):
+        return F.pmod(F.xxhash64(col), F.lit(self.n_state_buckets)).cast("int")
+
+    def _read_state(
+        self, name: str, buckets: list[int] | None = None
+    ) -> DataFrame | None:
+        """Read a state table; `buckets` prunes to the named hash-bucket
+        partitions (hive partition filter → only those directories are
+        listed and scanned)."""
         path = self._path(name)
         try:
             df = self.spark.read.parquet(path)
         except Exception:
             return None
-        # batch_id is a physical partition column of the state layout,
-        # not part of the logical schema
-        return df.drop("batch_id")
+        if buckets is not None and "state_bucket" in df.columns:
+            df = df.where(F.col("state_bucket").isin([int(b) for b in buckets]))
+        # batch_id / state_bucket are physical partition columns of the
+        # state layout, not part of the logical schema
+        return df.drop("batch_id", "state_bucket")
 
-    def _append(self, name: str, df: DataFrame, batch_id: int) -> None:
-        # batch_id-keyed subdir → idempotent on micro-batch retry
+    def _append(
+        self, name: str, df: DataFrame, batch_id: int, bucket_col=None
+    ) -> None:
+        # batch_id-keyed subdir → idempotent on micro-batch retry;
+        # state_bucket sub-partitioning → probe-time pruning
         path = os.path.join(self._path(name), f"batch_id={batch_id}")
+        if bucket_col is not None:
+            df.withColumn("state_bucket", bucket_col).write.mode(
+                "overwrite"
+            ).partitionBy("state_bucket").parquet(path)
+        else:
+            df.write.mode("overwrite").parquet(path)
+
+    def compact_state(self, names: tuple[str, ...] = ("bands", "sigs", "docs", "edges")) -> None:
+        """Rewrite each state table's many small per-batch files into one
+        consolidated batch (`batch_id=-1`), preserving the bucket
+        partitioning. The Iceberg analog is the rewrite_data_files
+        maintenance action; here it is read → rewrite → atomic-ish swap.
+        Snapshot-read semantics make this safe between batches."""
+        for name in names:
+            path = self._path(name)
+            try:
+                df = self.spark.read.parquet(path)
+            except Exception:
+                continue
+            tmp = path + "__compacting"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            out = os.path.join(tmp, "batch_id=-1")
+            if "state_bucket" in df.columns:
+                df.drop("batch_id").write.partitionBy("state_bucket").parquet(out)
+            else:
+                df.drop("batch_id").write.parquet(out)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+
+    # ---------------- clusters snapshot ----------------
+
+    def _latest_snapshot(self, below_batch: int | None = None):
+        """(assignments df | None) from the highest-batch_id snapshot,
+        optionally restricted to snapshots strictly below `below_batch`
+        (retry idempotence: batch N derives from state before N)."""
+        root = self._path("clusters")
+        if not os.path.isdir(root):
+            return None
+        ids = []
+        for d in os.listdir(root):
+            if d.startswith("batch_id="):
+                b = int(d.split("=", 1)[1])
+                if below_batch is None or b < below_batch:
+                    ids.append(b)
+        if not ids:
+            return None
+        path = os.path.join(root, f"batch_id={max(ids)}")
+        return self.spark.read.parquet(path)
+
+    def _write_snapshot(self, df: DataFrame, batch_id: int) -> None:
+        path = os.path.join(self._path("clusters"), f"batch_id={batch_id}")
         df.write.mode("overwrite").parquet(path)
+
+    def _merge_clusters(self, edges: DataFrame, batch_id: int) -> None:
+        """Merge-only incremental CC. Snapshot rows are (doc_id,
+        cluster_id) for NON-singleton members only (member != root);
+        root(x) = coalesce(lookup(x), x). New edges are contracted to
+        (root_a, root_b); same-root edges vanish; CC runs on the tiny
+        remainder; the root-remap rewrites the snapshot."""
+        from hsearch_spark.operators.components import connected_components
+
+        prev = self._latest_snapshot(below_batch=batch_id)
+        e = edges.select("a", "b")
+        if prev is not None:
+            ra = prev.select(
+                F.col("doc_id").alias("a"), F.col("cluster_id").alias("_ra")
+            )
+            rb = prev.select(
+                F.col("doc_id").alias("b"), F.col("cluster_id").alias("_rb")
+            )
+            e = (
+                e.join(ra, "a", "left")
+                .join(rb, "b", "left")
+                .select(
+                    F.coalesce("_ra", "a").alias("a"),
+                    F.coalesce("_rb", "b").alias("b"),
+                )
+            )
+        contracted = e.where(F.col("a") != F.col("b")).dropDuplicates(["a", "b"])
+        remap = connected_components(contracted)  # (doc_id=old root, cluster_id=new)
+        new_rows = remap.where(F.col("doc_id") != F.col("cluster_id"))
+        if prev is not None:
+            rm = new_rows.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("cluster_id").alias("_new"),
+            )
+            updated = (
+                prev.join(rm, "cluster_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("_new", "cluster_id").alias("cluster_id"),
+                )
+            )
+            snapshot = updated.unionByName(new_rows).dropDuplicates(["doc_id"])
+        else:
+            snapshot = new_rows
+        self._write_snapshot(snapshot, batch_id)
+
+    # ---------------- the micro-batch body ----------------
 
     def process_batch(self, new_pages: DataFrame, batch_id: int) -> None:
         cfg = self.config
@@ -84,8 +231,17 @@ class IncrementalDedup:
         cands = candidate_pairs(bands, cfg)
 
         # probe join against the indexed corpus (new × old): the small
-        # new side streams against the big state side on the band key
-        old_bands = self._read_state("bands")
+        # new side streams against the big state side on the band key.
+        # Bucket pruning first: the batch touches ≤ n_state_buckets
+        # band-hash buckets; collect them (bounded driver list) and read
+        # only those partitions of the state.
+        touched = [
+            r[0]
+            for r in bands.select(self._band_bucket().alias("sb"))
+            .distinct()
+            .collect()
+        ]
+        old_bands = self._read_state("bands", buckets=touched)
         if old_bands is not None:
             probe = (
                 bands.alias("n")
@@ -104,41 +260,62 @@ class IncrementalDedup:
                 .dropDuplicates(["a", "b"])
             )
             cands = cands.union(probe).dropDuplicates(["a", "b"])
+        cands = cands.localCheckpoint()
 
-        # verify needs shingles of BOTH sides — state sigs + new sigs
-        old_sigs = self._read_state("sigs")
+        # verify needs sigs + texts of BOTH sides — but only for docs
+        # that actually appear in candidate pairs: prune state reads to
+        # the candidates' doc-hash buckets, then semi-join down to the
+        # exact id set (texts never travel for untouched corpus docs).
+        needed = cands.select(
+            F.explode(F.array("a", "b")).alias("doc_id")
+        ).distinct()
+        need_buckets = [
+            r[0]
+            for r in needed.select(self._doc_bucket().alias("db"))
+            .distinct()
+            .collect()
+        ]
+        old_sigs = self._read_state("sigs", buckets=need_buckets)
+        if old_sigs is not None:
+            old_sigs = old_sigs.join(needed, "doc_id", "left_semi")
         all_sigs = sigs if old_sigs is None else sigs.unionByName(old_sigs)
-        old_docs = self._read_state("docs")
+        old_docs = self._read_state("docs", buckets=need_buckets)
         slim_docs = docs.select("doc_id", "text")
+        if old_docs is not None:
+            old_docs = old_docs.join(needed, "doc_id", "left_semi")
         all_docs = (
-            slim_docs
-            if old_docs is None
-            else slim_docs.unionByName(old_docs)
+            slim_docs if old_docs is None else slim_docs.unionByName(old_docs)
         )
-        edges = verify_pairs(cands, all_sigs, all_docs, cfg)
+        edges = verify_pairs(cands, all_sigs, all_docs, cfg).localCheckpoint()
 
         self._append("edges", edges, batch_id)
-        self._append("sigs", sigs, batch_id)
-        self._append("bands", bands, batch_id)
-        self._append("docs", docs.select("doc_id", "text"), batch_id)
+        self._append("sigs", sigs, batch_id, bucket_col=self._doc_bucket())
+        self._append("bands", bands, batch_id, bucket_col=self._band_bucket())
+        self._append(
+            "docs",
+            docs.select("doc_id", "text"),
+            batch_id,
+            bucket_col=self._doc_bucket(),
+        )
+        self._merge_clusters(edges, batch_id)
 
     def current_clusters(self) -> DataFrame:
-        """CC over the cumulative edge table (on-demand materialization)."""
-        from hsearch_spark.operators.components import (
-            assign_clusters,
-            connected_components,
-        )
-
+        """Full assignment table from the maintained snapshot — NO CC
+        recompute over the cumulative edge table (merge-only CC already
+        folded every batch's edges in). Singletons map to themselves."""
         sigs = self._read_state("sigs")
-        edges = self._read_state("edges")
         if sigs is None:
             raise ValueError("no state yet")
         docs = sigs.select("doc_id")
-        if edges is None or edges.isEmpty():
-            return docs.select(
-                "doc_id", F.col("doc_id").alias("cluster_id")
+        snap = self._latest_snapshot()
+        if snap is None:
+            return docs.select("doc_id", F.col("doc_id").alias("cluster_id"))
+        return (
+            docs.join(snap, "doc_id", "left")
+            .select(
+                "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
             )
-        return assign_clusters(docs, connected_components(edges))
+        )
 
     def start_stream(self, pages_stream: DataFrame, checkpoint_dir: str):
         """Wire process_batch into a real streaming query (file/Kafka

@@ -55,6 +55,117 @@ def test_batch_retry_idempotent(spark, tmp_path):
     assert c1 == c2
 
 
+def test_probe_reads_pruned_state_partitions(spark, tmp_path):
+    """Scale guard: batch N's probe join must NOT scan the full band
+    state. The state layout hash-partitions bands by state_bucket; a
+    small batch touches only a few buckets, and the pruned read's scan
+    must carry a state_bucket partition filter (directory-level pruning,
+    the parquet analog of Iceberg partition pruning)."""
+    h1, h2, _ = _halves(spark, n=100, seed=21)
+    inc = IncrementalDedup(spark, str(tmp_path / "state"), n_state_buckets=64)
+    inc.process_batch(h1, 0)
+
+    # a 3-doc follow-up batch touches <= 3 * bands buckets << 64
+    tiny = h2.limit(3)
+    from hsearch_spark.functions.signatures import add_signature_columns, explode_bands
+    from hsearch_spark.functions.text import extract_pages
+
+    bands = explode_bands(
+        add_signature_columns(extract_pages(tiny), inc.config), inc.config
+    )
+    touched = [
+        r[0]
+        for r in bands.select(inc._band_bucket().alias("sb")).distinct().collect()
+    ]
+    assert 0 < len(touched) < inc.n_state_buckets
+
+    pruned = inc._read_state("bands", buckets=touched)
+    jqe = pruned._jdf.queryExecution()
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        jqe, "formatted"
+    )
+    scan = next(
+        block for block in plan.split("\n\n") if "PartitionFilters" in block
+    )
+    pf_line = next(
+        ln for ln in scan.splitlines() if "PartitionFilters" in ln
+    )
+    assert "state_bucket" in pf_line, pf_line
+
+
+def test_current_clusters_never_reads_edges(spark, tmp_path):
+    """Merge-only incremental CC: the maintained snapshot IS the answer —
+    current_clusters() must not re-run connected components over the
+    cumulative edge table (the O(corpus)-per-call anti-pattern). Assert
+    the query reads no file from the edges state."""
+    h1, h2, _ = _halves(spark, n=100, seed=23)
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    inc.process_batch(h1, 0)
+    inc.process_batch(h2, 1)
+    files = inc.current_clusters().inputFiles()
+    assert files, "expected a file-backed plan"
+    assert not any("/edges/" in f for f in files), files
+
+
+def test_merge_only_cc_contracts_known_edges(spark, tmp_path):
+    """An edge between two docs already sharing a root must vanish in
+    contraction (no snapshot rewrite); a genuinely new edge merges."""
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    snap = spark.createDataFrame(
+        [(2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    inc._write_snapshot(snap, 0)
+
+    edges = spark.createDataFrame(
+        [(2, 3), (4, 5)], "a long, b long"
+    )
+    inc._merge_clusters(edges, 1)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in inc._latest_snapshot().collect()
+    }
+    # 2,3 untouched (edge contracted away); 5 newly merged under root 4
+    assert got == {2: 1, 3: 1, 5: 4}
+
+
+def test_compact_state_preserves_results(spark, tmp_path):
+    """Compaction rewrites many small per-batch files into one batch dir
+    while keeping the bucket partitioning and every downstream answer."""
+    import glob
+
+    h1, h2, _ = _halves(spark, n=100, seed=25)
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    inc.process_batch(h1, 0)
+    inc.process_batch(h2, 1)
+    before = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in inc.current_clusters().collect()
+    )
+    n_files_before = len(
+        glob.glob(str(tmp_path / "state" / "bands" / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    inc.compact_state()
+    n_files_after = len(
+        glob.glob(str(tmp_path / "state" / "bands" / "**" / "*.parquet"),
+                  recursive=True)
+    )
+    assert n_files_after <= n_files_before
+    dirs = {
+        d.name
+        for d in (tmp_path / "state" / "bands").iterdir()
+        if d.name.startswith("batch_id=")
+    }
+    assert dirs == {"batch_id=-1"}
+    after = sorted(
+        (r["doc_id"], r["cluster_id"]) for r in inc.current_clusters().collect()
+    )
+    assert after == before
+    # state stays appendable post-compaction
+    extra = _halves(spark, n=20, seed=27)[0]
+    inc.process_batch(extra, 2)
+    assert inc.current_clusters().count() == 110
+
+
 def test_real_streaming_query_file_source(spark, tmp_path):
     """End-to-end readStream(parquet dir) → foreachBatch → state."""
     h1, h2, _ = _halves(spark, n=80, seed=11)
