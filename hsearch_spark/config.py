@@ -33,11 +33,14 @@ def catch_probability(jaccard: float, bands: int, rows_per_band: int) -> float:
 
     Exact under independent MinHash slots; with the OPH scheme a band's
     r bins come from ONE permutation (correlated, plus densification
-    noise below ~900 shingles), so treat this as the design curve, not a
-    guarantee — the measured numbers are what count (recall 1.0 vs the
-    exact-Jaccard oracle on the 300-5000-doc planted corpora,
-    tests/test_pipeline.py, and the +75%% candidate-FP measurement in
-    the minhash_scheme note below)."""
+    noise below ~900 shingles), so this is the design curve, not a
+    guarantee. MEASURED against it (tools/measure_oph_catch.py,
+    production kernels, 2026-08-17): catch at J in [0.75, 0.85) is
+    942/942 = 1.0000 at the pinned (b=21, r=6) — page-length and
+    short-doc regimes both; OPH correlation costs at most -2.6pp and
+    only in the mid-curve (J 0.45-0.75, where the S-curve is SUPPOSED
+    to reject), while densification on short docs (~220 chars) raises
+    catch +3-19pp above design there. Full bin table in BENCH.md."""
     return 1.0 - (1.0 - jaccard**rows_per_band) ** bands
 
 

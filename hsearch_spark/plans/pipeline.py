@@ -50,6 +50,7 @@ def run_dedup(
     work_dir: str | None = None,
     enable_simhash_channel: bool = False,
     enable_substring_channel: bool = True,
+    concurrent_channels: bool | None = None,
 ) -> DedupResult:
     """Full pipeline. If work_dir is set, stages checkpoint + resume there."""
     config = config or DedupConfig()
@@ -94,15 +95,20 @@ def run_dedup(
 
     # The edge channels (minhash-verify, exact pairs, simhash, substring)
     # are INDEPENDENT until the final best-edge union — each consumes only
-    # already-checkpointed stages (cands/sigs/docs). Materialize them
-    # CONCURRENTLY from driver threads (Spark supports multi-threaded job
-    # submission; stages of different jobs interleave across the
-    # cluster), so one channel's shuffle barrier doesn't idle the cores
-    # the other channels could use — this is the serial-fraction cut that
-    # the N→4N scaling efficiency target depends on. Each channel is its
-    # own StageStore stage ("edges_<name>"), so resume granularity
-    # improves too: a crash during the substring channel doesn't redo the
-    # minhash verify.
+    # already-checkpointed stages (cands/sigs/docs). Two materialization
+    # strategies:
+    # - fused (default without a work_dir): union the lazy channel plans
+    #   and materialize ONCE — the DAGScheduler submits every stage whose
+    #   parents are satisfied, so the channels' shuffle-map stages already
+    #   run concurrently INSIDE the one job, with no extra checkpoint
+    #   round-trips. Measured faster than driver threads on a saturated
+    #   local cluster (see BENCH.md round-3 A/B).
+    # - per-channel threads (default with a work_dir): each channel is
+    #   its own StageStore stage ("edges_<name>") materialized from a
+    #   driver thread — slightly more job overhead, but a crash during
+    #   the substring channel doesn't redo the minhash verify, and on a
+    #   multi-tenant cluster FAIR pools keep one channel's barrier from
+    #   idling the others' cores.
     channels: dict[str, object] = {
         "edges_minhash": lambda: verify_pairs(
             cands, sigs, docs, config, method="minhash"
@@ -123,14 +129,19 @@ def run_dedup(
             F.lit("substring").alias("method"),
         )
 
-    from concurrent.futures import ThreadPoolExecutor
+    if concurrent_channels is None:
+        concurrent_channels = store is not None
+    if concurrent_channels:
+        from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=len(channels)) as pool:
-        futures = {
-            name: pool.submit(stage, name, build)
-            for name, build in channels.items()
-        }
-        parts = {name: f.result() for name, f in futures.items()}
+        with ThreadPoolExecutor(max_workers=len(channels)) as pool:
+            futures = {
+                name: pool.submit(stage, name, build)
+                for name, build in channels.items()
+            }
+            parts = {name: f.result() for name, f in futures.items()}
+    else:
+        parts = {name: build() for name, build in channels.items()}
 
     def build_edges() -> DataFrame:
         e = None
