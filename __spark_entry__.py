@@ -424,6 +424,24 @@ def q_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_seed_suffix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: seed range join as a wider equi-key — doc pairs sharing
+    >= 2 strided (16-char seed, next-4-chars suffix) windows. The
+    composite join key IS the reference's lower/upper_bound suffix
+    narrowing (hash_search.cpp:450-527); see
+    operators.substring.seed_suffix_pairs."""
+    from hsearch_spark.operators.substring import seed_suffix_pairs
+
+    return seed_suffix_pairs(
+        _docs(spark, sf_dir),
+        seed_len=16,
+        suffix_len=4,
+        stride=1,
+        min_common=2,
+        df_max=64,
+    ).orderBy("a", "b")
+
+
 def q_bucket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H6/A8: bucket-size histogram (skew diagnostics shape)."""
     d = _docs(spark, sf_dir)
@@ -927,6 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_by_bin": q_recall_by_bin,
         "distinct_tokens_per_lang": q_distinct_tokens_per_lang,
         "repeated_windows": q_repeated_windows,
+        "seed_suffix_pairs": q_seed_suffix_pairs,
         "bucket_size_histogram": q_bucket_size_histogram,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ivf_cosine_topk": q_ivf_cosine_topk,
@@ -1151,6 +1170,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(tp_flag) AS DOUBLE) /
                      CAST(sum(tp_flag) + sum(1 - tp_flag) AS DOUBLE) AS recall
             FROM binned GROUP BY bin ORDER BY bin
+        """,
+        "seed_suffix_pairs": f"""
+            WITH canon AS (SELECT doc_id, {_CANON} AS t FROM documents),
+            starts AS (
+              SELECT doc_id, t,
+                     unnest(range(1, greatest(length(t) - 19, 1) + 1, 1)) AS s
+              FROM canon
+            ),
+            wins AS (
+              SELECT DISTINCT doc_id,
+                     substr(t, CAST(s AS INT), 16) AS seed,
+                     substr(t, CAST(s AS INT) + 16, 4) AS suffix
+              FROM starts
+              WHERE length(substr(t, CAST(s AS INT), 20)) = 20
+            ),
+            df AS (
+              SELECT seed, suffix, count(*) AS n_docs
+              FROM wins GROUP BY seed, suffix
+            ),
+            kept AS (
+              SELECT w.doc_id, w.seed, w.suffix
+              FROM wins w JOIN df USING (seed, suffix)
+              WHERE df.n_docs BETWEEN 2 AND 64
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(count(*) AS BIGINT) AS n_common_seeds
+            FROM kept x JOIN kept y USING (seed, suffix)
+            WHERE x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id
+            HAVING count(*) >= 2
+            ORDER BY a, b
         """,
         "distinct_tokens_per_lang": f"""
             SELECT lang, count(DISTINCT tok) AS n_distinct_tokens

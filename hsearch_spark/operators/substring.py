@@ -87,6 +87,90 @@ def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     )
 
 
+def seed_suffix_pairs(
+    docs: DataFrame,
+    seed_len: int = 16,
+    suffix_len: int = 4,
+    stride: int = 1,
+    min_common: int = 2,
+    df_max: int = 64,
+) -> DataFrame:
+    """J3 — the reference's seed RANGE join, re-planned as an equi-join
+    on a WIDER key. hash_search's `ExtendSeq2Set` narrows each seed
+    bucket with lower_bound/upper_bound over sorted compressed suffixes
+    so only entries whose next 4 chars match the query's survive
+    (hash_search.cpp:450-527; lower 471-474, upper 519-521). On Spark
+    the sorted-bucket range scan is the wrong physical plan; the same
+    logical result is a plain equi-join on the composite key
+    (seed, next-suffix_len chars) — Catalyst's hash/sort-merge join on
+    the wider key IS the narrowing (SURVEY.md §2 J3).
+
+    Emits (a, b, n_common_seeds): document pairs sharing >= min_common
+    strided seed windows WITH matching following suffix. Two docs that
+    share a seed but diverge in the next suffix_len chars do NOT pair on
+    that seed — exactly the pruning the reference's range trick buys.
+    The anchor channel (substring_edges) subsumes this for dedup (a
+    64-bit hash of a 50-gram is already maximally narrow); this
+    operator exists for the probe/search-style workload where seeds are
+    short and content-coarse. Same df-gate + rank-limit bounding as the
+    anchor channel (WindowGroupLimit before the shuffle; buckets with
+    df > df_max are template text, dropped).
+
+    stride=1 (default) extracts every window position — the reference
+    indexes every suffix, which is what makes seed matching
+    shift-invariant. stride > 1 cuts extraction cost by that factor but
+    only matches docs whose shared content happens to agree in offset
+    phase (mod stride) — fine for aligned/exact-dup probing, wrong for
+    arbitrary-offset spans (the anchor channel's content-defined
+    positions solve that without stride-1 cost)."""
+    t = F.col("text")
+    width = seed_len + suffix_len
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - width + 1, F.lit(1)),
+        F.lit(stride),
+    )
+    wins = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(starts, lambda s: t.substr(s, F.lit(width)))
+            ).alias("w"),
+        )
+        .where(F.length("w") == width)
+        .select(
+            "doc_id",
+            F.substring("w", 1, seed_len).alias("seed"),
+            F.substring("w", seed_len + 1, suffix_len).alias("suffix"),
+        )
+        .distinct()  # one vote per (doc, seed, suffix)
+    )
+    w = Window.partitionBy("seed", "suffix").orderBy("doc_id")
+    kept = wins.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= df_max + 1
+    )
+    grouped = kept.groupBy("seed", "suffix").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    n = F.size("ids")
+    grouped = grouped.where((n >= 2) & (n <= df_max))
+    pair_structs = F.flatten(
+        F.transform(
+            F.slice("ids", 1, n - 1),
+            lambda x, i: F.transform(
+                F.slice("ids", i + F.lit(2), F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.count("*").alias("n_common_seeds"))
+        .where(F.col("n_common_seeds") >= min_common)
+    )
+
+
 def repeated_window_counts(
     docs: DataFrame, window: int, stride: int
 ) -> DataFrame:

@@ -6,7 +6,11 @@ from __future__ import annotations
 
 from hsearch_spark.config import DedupConfig
 from hsearch_spark.functions.signatures import add_signature_columns
-from hsearch_spark.operators.substring import repeated_window_counts, substring_edges
+from hsearch_spark.operators.substring import (
+    repeated_window_counts,
+    seed_suffix_pairs,
+    substring_edges,
+)
 
 CFG = DedupConfig()
 
@@ -35,6 +39,46 @@ def test_boilerplate_df_cap_drops_hot_anchor(spark):
     texts = [boiler + f"unique body content {i} " * 20 for i in range(8)]
     got = substring_edges(_sigs(spark, texts), cfg).collect()
     assert got == []  # boilerplate anchor df=8 > 3 → no edges
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_seed_suffix_pairs_shared_span(spark):
+    """J3 equi-key join: docs sharing a long span pair up; the pair
+    count reflects multiple strided (seed, suffix) agreements."""
+    span = "the quick brown fox jumps over the lazy dog again and again " * 4
+    texts = [
+        "doc one unique head " + span + " doc one tail",
+        "completely different head here " + span + " other tail",
+        "nothing shared in this third document at all whatsoever " * 6,
+    ]
+    got = seed_suffix_pairs(_docs_df(spark, texts)).collect()
+    assert {(r["a"], r["b"]) for r in got} == {(0, 1)}
+    assert all(r["n_common_seeds"] >= 2 for r in got)
+
+
+def test_seed_suffix_narrowing_prunes_diverging_suffix(spark):
+    """The reference's range-narrowing semantics: sharing the SEED
+    alone is not enough — the next suffix_len chars must match too
+    (hash_search.cpp lower/upper_bound on compressed suffixes). Two
+    docs that repeat the same 16-char seed but always diverge in the
+    following 4 chars must NOT pair."""
+    # 24-char blocks = 16-char shared seed + 8 diverging chars: every
+    # 20-char window spans >= 4 filler chars, so full-window equality
+    # never holds across docs, while windows starting at a seed run
+    # share the 16-char seed exactly — the seed-only join would pair
+    # these docs; the (seed, suffix) key must not
+    seed = "abcdefghijklmnop"  # 16 chars
+    texts = [
+        (seed + "11111111") * 10,
+        (seed + "22222222") * 10,
+    ]
+    got = seed_suffix_pairs(_docs_df(spark, texts)).collect()
+    assert got == []
 
 
 def test_repeated_window_counts_oracle(spark):
