@@ -910,6 +910,17 @@ def q_substring_anchor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_edges(_sigs(spark, sf_dir), CFG)
 
 
+def q_anchor_span_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2: seed match + ungapped extension — maximal shared-span length
+    and byte offsets for anchor-candidate pairs (rows-only: positions
+    derive from content-defined 64-bit anchor hashes; the pytest oracle
+    is the planted-span length/offset gate, tests/test_substring.py).
+    Ref: hash_search.cpp:450-527 seed hit -> exact extend."""
+    from hsearch_spark.operators.substring import anchor_span_edges
+
+    return anchor_span_edges(_docs(spark, sf_dir), CFG).orderBy("a", "b")
+
+
 def q_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH embedding near-dup (rows-only: seeded projections).
 
@@ -973,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "band_candidates": q_band_candidates,
         "substring_anchor_edges": q_substring_anchor_edges,
+        "anchor_span_extension": q_anchor_span_extension,
         "embedding_lsh_neardup": q_embedding_lsh_neardup,
     }
 

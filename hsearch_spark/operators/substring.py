@@ -28,10 +28,15 @@ over the sorted suffix array (A4) is exactly the groupBy(anchor) here.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from hsearch_spark.config import DedupConfig
+from hsearch_spark.functions import hashing as H
 
 
 def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
@@ -84,6 +89,191 @@ def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     )
     return pair_counts.where(
         F.col("n_common_anchors") >= config.anchor_min_common
+    )
+
+
+def anchor_positions(docs: DataFrame, config: DedupConfig) -> DataFrame:
+    """(doc_id, text) -> (doc_id, anchor, pos): every content-defined
+    anchor with its first BYTE offset in the UTF-8 text.
+
+    Same kernel as the signature pass (hashing._prefix_tables /
+    _window_hashes, identical filter hash % anchor_mod == 0, identical
+    int64 cast) so the emitted `anchor` values join exactly against
+    sigs.anchors / substring_edges candidates. Kept OUT of the main
+    signature schema on purpose: positions are only needed for the few
+    pairs that survive the anchor-count gate, so the span-extension
+    caller extracts them for that doc subset only (semi-join), never
+    corpus-wide.
+    """
+    gram = config.anchor_gram
+    mod = np.uint64(config.anchor_mod)
+
+    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            txt = batch.column(1)
+            out_id, out_anchor, out_pos = [], [], []
+            for i in range(len(txt)):
+                data = np.frombuffer(
+                    txt[i].as_py().encode("utf-8"), dtype=np.uint8
+                )
+                spad, inv = H._prefix_tables(data)
+                a = H._window_hashes(spad, inv, gram)
+                mask = a % mod == 0
+                # first occurrence per anchor value (np.unique returns
+                # the smallest index of each) — deterministic and enough
+                # for extension: any occurrence inside a shared span
+                # extends to the same maximal span
+                vals, first = np.unique(a[mask], return_index=True)
+                pos = np.flatnonzero(mask)[first]
+                out_id.append(np.full(vals.shape[0], ids[i], dtype=np.int64))
+                out_anchor.append(vals.astype(np.int64))
+                out_pos.append(pos.astype(np.int32))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_id) if out_id else []),
+                    pa.array(
+                        np.concatenate(out_anchor) if out_anchor else [],
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        np.concatenate(out_pos) if out_pos else [],
+                        type=pa.int32(),
+                    ),
+                ],
+                names=["doc_id", "anchor", "pos"],
+            )
+
+    return docs.select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    ).mapInArrow(compute, "doc_id long, anchor long, pos int")
+
+
+def anchor_span_edges(
+    docs: DataFrame, config: DedupConfig | None = None
+) -> DataFrame:
+    """V2 — seed match + UNGAPPED EXTENSION, closing the reference's
+    two-phase span verify: hash_search seeds a hit, then extends the
+    exact match outward until mismatch to report the full aligned span
+    (hash_search.cpp:450-527 seed narrowing feeding the ungapped extend;
+    SURVEY.md §2 V2). substring_edges answers "WHICH pairs share a long
+    span"; this operator answers "WHERE and HOW LONG".
+
+    Plan (all stages bounded by the candidate gate, never corpus-wide):
+      1. candidate pairs   = substring_edges(sigs) — bounded pairing
+      2. positions         = anchor_positions() over ONLY the docs that
+                             appear in a pair (semi-join pruned)
+      3. one seed per pair = min shared anchor (deterministic), first
+                             byte offset on each side
+      4. extension kernel  = mapInArrow: numpy byte-compare outward from
+                             the seed on both sides; left run + gram +
+                             right run = maximal ungapped span
+    Emits (a, b, a_start, b_start, span_len) with span_len >=
+    config.min_span; offsets are BYTE offsets into the UTF-8 text
+    (exact-match extension is byte-exact, so byte space is the correct
+    comparison space regardless of encoding).
+    """
+    config = config or DedupConfig()
+    from hsearch_spark.functions.signatures import add_signature_columns
+
+    sigs = add_signature_columns(docs, config)
+    pairs = substring_edges(sigs, config).select("a", "b")
+    pair_docs = (
+        pairs.select(F.col("a").alias("doc_id"))
+        .union(pairs.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    subset = docs.join(pair_docs, "doc_id", "left_semi")
+    pos = anchor_positions(subset, config)
+    seeded = (
+        pairs.join(
+            pos.select(
+                F.col("doc_id").alias("a"),
+                "anchor",
+                F.col("pos").alias("pos_a"),
+            ),
+            "a",
+        )
+        .join(
+            pos.select(
+                F.col("doc_id").alias("b"),
+                "anchor",
+                F.col("pos").alias("pos_b"),
+            ),
+            ["b", "anchor"],
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.min(F.struct("anchor", "pos_a", "pos_b")).alias("seed")
+        )
+        .select("a", "b", "seed.pos_a", "seed.pos_b")
+    )
+    texts = docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    with_text = (
+        seeded.join(
+            texts.select(
+                F.col("doc_id").alias("a"), F.col("text").alias("text_a")
+            ),
+            "a",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("b"), F.col("text").alias("text_b")
+            ),
+            "b",
+        )
+        .select("a", "b", "pos_a", "pos_b", "text_a", "text_b")
+    )
+    gram = config.anchor_gram
+    min_span = config.min_span
+
+    def extend(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # per-pair loop over numpy byte compares: the input is the
+        # candidate-pair table (already gated), not the corpus — the
+        # vectorized slice compares dominate, same trade as align.py
+        for batch in batches:
+            d = batch.to_pydict()
+            out = {"a": [], "b": [], "a_start": [], "b_start": [],
+                   "span_len": []}
+            for i in range(batch.num_rows):
+                ta = np.frombuffer(
+                    d["text_a"][i].encode("utf-8"), dtype=np.uint8
+                )
+                tb = np.frombuffer(
+                    d["text_b"][i].encode("utf-8"), dtype=np.uint8
+                )
+                pa_, pb = d["pos_a"][i], d["pos_b"][i]
+                m = min(pa_, pb)
+                lcmp = ta[pa_ - m : pa_] != tb[pb - m : pb]
+                bad = np.flatnonzero(lcmp)
+                left = m if bad.size == 0 else m - 1 - int(bad[-1])
+                m2 = min(ta.shape[0] - pa_, tb.shape[0] - pb) - gram
+                rcmp = (
+                    ta[pa_ + gram : pa_ + gram + m2]
+                    != tb[pb + gram : pb + gram + m2]
+                )
+                bad2 = np.flatnonzero(rcmp)
+                right = m2 if bad2.size == 0 else int(bad2[0])
+                span = left + gram + right
+                if span >= min_span:
+                    out["a"].append(d["a"][i])
+                    out["b"].append(d["b"][i])
+                    out["a_start"].append(pa_ - left)
+                    out["b_start"].append(pb - left)
+                    out["span_len"].append(span)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out["a"], type=pa.int64()),
+                    pa.array(out["b"], type=pa.int64()),
+                    pa.array(out["a_start"], type=pa.int32()),
+                    pa.array(out["b_start"], type=pa.int32()),
+                    pa.array(out["span_len"], type=pa.int32()),
+                ],
+                names=["a", "b", "a_start", "b_start", "span_len"],
+            )
+
+    return with_text.mapInArrow(
+        extend, "a long, b long, a_start int, b_start int, span_len int"
     )
 
 

@@ -163,3 +163,25 @@ def test_edges_carry_method_and_threshold(spark, pipeline_result):
         assert r["method"] in {"exact", "minhash", "simhash", "substring"}
         if r["method"] in {"exact", "minhash"}:
             assert r["jaccard"] >= DedupConfig().jaccard_threshold
+
+
+def test_fused_and_threaded_channels_equivalent(spark, tmp_path):
+    """The two channel-materialization strategies (fused single-job union
+    vs per-channel StageStore threads, plans/pipeline.py) are an execution
+    trade-off only — edges and cluster assignments must be identical."""
+    pages, _ = pages_dataframe(spark, n_docs=250, seed=11)
+    fused = run_dedup(spark, pages, concurrent_channels=False)
+    threaded = run_dedup(
+        spark, pages, work_dir=str(tmp_path / "wd"), concurrent_channels=True
+    )
+
+    def edge_set(res):
+        return {
+            (r["a"], r["b"], r["method"], r["jaccard"])
+            for r in res.edges.collect()
+        }
+
+    assert edge_set(fused) == edge_set(threaded)
+    cf = {r["doc_id"]: r["cluster_id"] for r in fused.clusters.collect()}
+    ct = {r["doc_id"]: r["cluster_id"] for r in threaded.clusters.collect()}
+    assert cf == ct

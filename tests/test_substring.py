@@ -92,3 +92,56 @@ def test_repeated_window_counts_oracle(spark):
     }
     assert got["abcdefghij"] == 6
     assert got["zzzzzzzzzz"] == 1
+
+
+def test_anchor_span_extension_reports_maximal_span(spark):
+    """V2 oracle: a planted shared span is recovered with its FULL
+    length and correct byte offsets by ungapped extension from one
+    shared anchor, whatever each document's offset phase."""
+    from hsearch_spark.operators.substring import anchor_span_edges
+
+    span = (
+        "this long shared span of copied text appears inside both "
+        "documents verbatim " * 4
+    )  # 308 chars, > min_span=200
+    # flanks end/begin with DIFFERENT bytes so the planted span is the
+    # exact maximal ungapped match (a shared trailing space would
+    # legitimately widen the span by one)
+    head_a = "unique preamble alpha beta gamma " * 6 + "Q"
+    head_b = "different opening content entirely xx " * 6 + "Z"
+    texts = [
+        head_a + span + "tail one",
+        head_b + span + "other tail",
+        "no shared content at all in this one " * 12,
+    ]
+    got = anchor_span_edges(_docs_df(spark, texts), CFG).collect()
+    assert {(r["a"], r["b"]) for r in got} == {(0, 1)}
+    (r,) = got
+    # extension is maximal: exactly the planted span (the flanks differ
+    # at the very first byte on each side, so no accidental widening)
+    assert r["span_len"] == len(span)
+    assert r["a_start"] == len(head_a)
+    assert r["b_start"] == len(head_b)
+
+
+def test_anchor_span_extension_spans_to_text_edges(spark):
+    """Extension clamps correctly when the shared span touches the
+    start of one text and the end of the other (boundary arithmetic)."""
+    from hsearch_spark.operators.substring import anchor_span_edges
+
+    # non-periodic span: a repeated literal has only period-many distinct
+    # windows (~period/anchor_mod anchors), which can undershoot the
+    # anchor_min_common gate; numbered segments keep every window unique
+    span = "".join(
+        f"shared copied region segment {i} of text verbatim " for i in range(8)
+    )
+    texts = [
+        span + "unique tail material for document zero " * 4,
+        "unique head material for document one " * 4 + span,
+    ]
+    got = anchor_span_edges(_docs_df(spark, texts), CFG).collect()
+    assert {(r["a"], r["b"]) for r in got} == {(0, 1)}
+    (r,) = got
+    assert r["span_len"] == len(span)
+    assert r["a_start"] == 0
+    assert r["b_start"] == len(texts[1]) - len(span)
