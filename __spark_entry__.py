@@ -580,6 +580,31 @@ def q_char_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: the MEME sink writes a per-cluster letter-probability matrix
+    (centerDistanceSmapling.cpp:189-200+); the webtext analog is a
+    per-group character-probability profile — here keyed by lang (the
+    oracle-checkable grouping; per-dedup-cluster uses the same plan with
+    cluster_id). Two map-side-combinable aggs, tiny key space."""
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(
+            "lang",
+            F.explode(F.expr("regexp_extract_all(text, '.', 0)")).alias("ch"),
+        )
+        .groupBy("lang", "ch")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.partitionBy("lang")
+    return (
+        counts.withColumn(
+            "prob",
+            F.round(F.col("n_occurrences") / F.sum("n_occurrences").over(w), 6),
+        )
+        .orderBy("lang", "ch")
+    )
+
+
 def q_union_eval_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U3: key-space union of two tables' category domains."""
     c = _read(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("k"))
@@ -965,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_distribution": q_lang_distribution,
         "lang_id": q_lang_id,
         "char_frequency": q_char_frequency,
+        "lang_char_profile": q_lang_char_profile,
         "union_eval_keys": q_union_eval_keys,
         "label_centroids": q_label_centroids,
         "doc_variants": q_doc_variants,
@@ -1302,6 +1328,19 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             GROUP BY ch ORDER BY ch
+        """,
+        "lang_char_profile": f"""
+            SELECT lang, ch, count(*) AS n_occurrences,
+                   round(
+                     count(*) / CAST(
+                       sum(count(*)) OVER (PARTITION BY lang) AS DOUBLE
+                     ), 6
+                   ) AS prob
+            FROM (
+              SELECT lang, unnest(regexp_extract_all({_CANON}, '.')) AS ch
+              FROM documents
+            )
+            GROUP BY lang, ch ORDER BY lang, ch
         """,
         "lang_distribution": """
             SELECT lang, count(*) AS n_docs,
