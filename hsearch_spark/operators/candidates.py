@@ -47,6 +47,7 @@ def bucket_pairs_grouped(
     key_cols: list[str],
     config: DedupConfig,
     max_bucket: int | None = None,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Generic within-bucket pairing: df(doc_id, *key_cols) -> (a, b).
 
@@ -123,20 +124,33 @@ def bucket_pairs_grouped(
     # hot buckets: R smallest ids are the representatives; broadcast
     # them back against the FULL membership so every member gets an edge
     # without re-shuffling the big side. The broadcast hint is honored
-    # unconditionally (NOT auto-dropped at size), so it is GUARDED at
-    # runtime: reps rows = R × (#hot buckets), counted cheaply on the
-    # already-persisted `grouped` (one job over a bounded cached frame);
-    # a corpus whose reps exceed config.max_broadcast_reps — e.g.
-    # adversarial simhash combo keys fanning out hot buckets — degrades
-    # to a plain shuffle join instead of failing on driver/broadcast
-    # memory. The per-bucket memory bound holds either way; only the
-    # exchange count grows on the fallback path.
+    # unconditionally (NOT auto-dropped at size), so it is GUARDED — a
+    # corpus whose reps exceed config.max_broadcast_reps (adversarial
+    # simhash combo keys fanning out hot buckets) degrades to a plain
+    # shuffle join instead of failing on driver/broadcast memory. The
+    # guard is TIERED so the common case costs zero extra jobs:
+    # 1. proven bound — every hot bucket holds > cap members, so
+    #    #hot <= input_rows/(cap+1) and reps rows <= R*that. Callers
+    #    know input_rows exactly and for free (bands = b × #sigs,
+    #    simhash combos = C(blocks, blocks-h) × #sigs, LSH keys =
+    #    n_tables × #vectors); when the bound clears the limit the
+    #    broadcast is safe with NO runtime action.
+    # 2. exact count — only when the bound can't clear (10^9+-row
+    #    corpora, where one extra job is noise against the pipeline):
+    #    count hot buckets on the already-persisted bounded `grouped`.
+    # The decision is physical only — emitted pairs are identical on
+    # both paths (pinned by test_broadcast_guard_fallback_same_pairs);
+    # per-bucket memory bounds hold either way.
     hot = grouped.where(n > cap)
-    n_hot_buckets = hot.count()
+    bound = None if input_rows is None else r * (input_rows // (cap + 1))
+    if bound is not None and bound <= config.max_broadcast_reps:
+        broadcast_safe = True
+    else:
+        broadcast_safe = hot.count() * r <= config.max_broadcast_reps
     reps = hot.select(
         *key_cols, F.explode(F.slice("ids", 1, r)).alias("a")
     )
-    if n_hot_buckets * r <= config.max_broadcast_reps:
+    if broadcast_safe:
         reps = F.broadcast(reps)
     large_pairs = (
         base.join(reps, key_cols)
@@ -146,14 +160,19 @@ def bucket_pairs_grouped(
     return small_pairs.union(large_pairs).dropDuplicates(["a", "b"])
 
 
-def candidate_pairs(bands: DataFrame, config: DedupConfig) -> DataFrame:
+def candidate_pairs(
+    bands: DataFrame, config: DedupConfig, input_rows: int | None = None
+) -> DataFrame:
     """bands(doc_id, band_id, band_hash) -> pairs(a, b), a < b, distinct.
 
     Pair dedup across bands (ref: test-once labels,
     motif_both_points.cpp:222-243) = dropDuplicates BEFORE the expensive
     verify stage — dedup-then-verify, not verify-then-dedup.
-    """
-    return bucket_pairs_grouped(bands, ["band_id", "band_hash"], config)
+    `input_rows` (= config.bands × #docs, when the caller knows #docs)
+    lets the broadcast guard prove safety without a runtime count."""
+    return bucket_pairs_grouped(
+        bands, ["band_id", "band_hash"], config, input_rows=input_rows
+    )
 
 
 def dropped_pairs_metrics(
@@ -182,7 +201,9 @@ def dropped_pairs_metrics(
     )
 
 
-def simhash_candidates(sigs: DataFrame, config: DedupConfig) -> DataFrame:
+def simhash_candidates(
+    sigs: DataFrame, config: DedupConfig, input_rows: int | None = None
+) -> DataFrame:
     """SimHash candidate channel — block-permutation scheme (Manku, Jain,
     Das Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07).
 
@@ -209,6 +230,10 @@ def simhash_candidates(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     via dropped_pairs_metrics(keyed, ["combo_key"], config).
     Final gate: exact bit_count(a ^ b) <= hamming_max
     (ref two-level filter: kmer_search.cpp:100-112).
+
+    `input_rows` = row count of `sigs` (i.e. #docs), when the caller
+    knows it — lets the broadcast guard prove safety without a runtime
+    count (combo-key rows are exactly C(blocks, blocks-h) per doc).
     """
     h = config.simhash_hamming_max
     nb = config.simhash_blocks
@@ -229,7 +254,14 @@ def simhash_candidates(sigs: DataFrame, config: DedupConfig) -> DataFrame:
         ]
     )
     keyed = sigs.select("doc_id", F.explode(keys).alias("combo_key"))
-    pairs = bucket_pairs_grouped(keyed, ["combo_key"], config)
+    # keyed has exactly len(combos) rows per doc → the guard's proven
+    # bound needs only #docs from the caller
+    pairs = bucket_pairs_grouped(
+        keyed,
+        ["combo_key"],
+        config,
+        input_rows=None if input_rows is None else input_rows * len(combos),
+    )
     sim = sigs.select("doc_id", "simhash")
     sa = sim.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"))
     sb = sim.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"))

@@ -274,8 +274,13 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 1,
     config=None,
+    input_rows: int | None = None,
 ) -> DataFrame:
     """Scale path: random-hyperplane LSH buckets → within-bucket verify.
+
+    `input_rows` = row count of `embeddings`, when the caller knows it
+    (bucket keys are exactly n_tables per vector) — lets the broadcast
+    guard prove safety without a runtime count.
 
     Hyperplanes seeded from config (contrast ref srand(time(NULL)),
     pcluster.cpp:84), broadcast in the UDF closure. Bucket key = n_planes
@@ -334,7 +339,12 @@ def embedding_near_dup_pairs(
         F.explode(bucket_udf(F.col(vec_col))).alias("bucket"),
     )
     # bucket_pairs_grouped already dedups pairs across tables (test-once)
-    pairs = bucket_pairs_grouped(keyed, ["bucket"], config)
+    pairs = bucket_pairs_grouped(
+        keyed,
+        ["bucket"],
+        config,
+        input_rows=None if input_rows is None else input_rows * n_tables,
+    )
     unit = _unit_normalized(embeddings, id_col, vec_col, "id", "vec")
     va = unit.select(F.col("id").alias("a"), F.col("vec").alias("va"))
     vb = unit.select(F.col("id").alias("b"), F.col("vec").alias("vb"))

@@ -85,12 +85,22 @@ def run_dedup(
         pages = pages.repartition(parallelism)
 
     docs = stage("docs", lambda: extract_pages(pages))
+    # corpus size: free from the stage sidecar when checkpointing, one
+    # trivial count over the cached checkpoint otherwise. Feeds the
+    # candidate stage's broadcast guard (bands = b × n_docs exactly) so
+    # the guard proves safety from the bound instead of running a count
+    # job over the grouped buckets (candidates.bucket_pairs_grouped).
+    n_docs = (
+        int(store.metrics["docs"]["rows"]) if store is not None else docs.count()
+    )
     sigs = stage("sigs", lambda: add_signature_columns(docs, config))
     # bands have exactly one consumer → fused into the candidates stage
     # (no materialization of the b×|docs| exploded table)
     cands = stage(
         "candidates",
-        lambda: candidate_pairs(explode_bands(sigs, config), config),
+        lambda: candidate_pairs(
+            explode_bands(sigs, config), config, input_rows=config.bands * n_docs
+        ),
     )
 
     # The edge channels (minhash-verify, exact pairs, simhash, substring)
@@ -119,7 +129,11 @@ def run_dedup(
     }
     if enable_simhash_channel:
         channels["edges_simhash"] = lambda: verify_pairs(
-            simhash_candidates(sigs, config), sigs, docs, config, method="simhash"
+            simhash_candidates(sigs, config, input_rows=n_docs),
+            sigs,
+            docs,
+            config,
+            method="simhash",
         )
     if enable_substring_channel:
         channels["edges_substring"] = lambda: substring_edges(sigs, config).select(

@@ -142,3 +142,30 @@ def test_broadcast_guard_fallback_same_pairs(spark):
     assert {(r["a"], r["b"]) for r in bc.collect()} == {
         (r["a"], r["b"]) for r in plain.collect()
     }
+
+
+def test_broadcast_guard_proven_bound_same_pairs(spark):
+    """input_rows lets the guard PROVE broadcast safety (reps rows <=
+    R * input_rows / (cap+1)) without a runtime count; pairs must be
+    identical to the exact-count path either way."""
+    rows = [(d, 0, 7) for d in range(100)]
+    cfg = DedupConfig(max_bucket_all_pairs=8, star_representatives=3)
+    bound = candidate_pairs(_bands(spark, rows), cfg, input_rows=len(rows))
+    counted = candidate_pairs(_bands(spark, rows), cfg)
+    assert (
+        "BroadcastHashJoin"
+        in bound._jdf.queryExecution().executedPlan().toString()
+    )
+    assert {(r["a"], r["b"]) for r in bound.collect()} == {
+        (r["a"], r["b"]) for r in counted.collect()
+    }
+    # a bound that CANNOT clear the limit falls back to the exact count
+    # (here 1 hot bucket * R = 3 reps <= limit → still broadcast)
+    tight = DedupConfig(
+        max_bucket_all_pairs=8, star_representatives=3, max_broadcast_reps=5
+    )
+    still_bc = candidate_pairs(_bands(spark, rows), tight, input_rows=len(rows))
+    assert (
+        "BroadcastHashJoin"
+        in still_bc._jdf.queryExecution().executedPlan().toString()
+    )
