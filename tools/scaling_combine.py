@@ -26,10 +26,22 @@ def main() -> None:
     eff = (lo["sec"] / hi["sec"]) / ratio
     print(f"scaling efficiency ({lo['cores']}→{hi['cores']} cores): {eff:.3f}")
     stamp = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    # annotate the efficiency cell with per-leg hypervisor steal when the
+    # legs recorded it (scaling_leg.py) — a noisy window deflates the
+    # wide leg and the row should say so instead of reading as a
+    # regression
+    steal = ""
+    if lo.get("steal_frac_busy") is not None and hi.get(
+        "steal_frac_busy"
+    ) is not None:
+        steal = (
+            f" (steal {lo['steal_frac_busy']:.1%}@N"
+            f" / {hi['steal_frac_busy']:.1%}@4N)"
+        )
     row = (
         f"| {stamp} | {lo['n_docs']} | local[{lo['cores']}]"
         f"→local[{hi['cores']}] | {lo['docs_per_sec']:.1f} | "
-        f"{hi['docs_per_sec']:.1f} | {eff:.3f} |\n"
+        f"{hi['docs_per_sec']:.1f} | {eff:.3f}{steal} |\n"
     )
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
