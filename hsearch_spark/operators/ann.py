@@ -69,10 +69,20 @@ _FIX = float(1 << 40)
 
 
 def _kmeans_pass(unit: DataFrame, cents: np.ndarray) -> list:
-    """One spherical k-means assign+update pass. Returns the collected
-    [(list_id, n_members, sum_bytes)] rows — n_lists rows max at the
-    driver; all heavy work (GEMM assign, fixed-point partial sums,
-    per-list combine) is distributed."""
+    """One spherical k-means assign+update pass. Returns
+    [(list_id, n_members, sum_bytes)] rows — n_lists rows max; all
+    heavy work (GEMM assign, fixed-point partial sums) is distributed.
+
+    The per-list combine is TIERED: each task emits at most n_lists
+    partial rows, so the full partial set is n_partitions × n_lists
+    rows of (int, long, d×8 bytes). When that is driver-small (the
+    overwhelmingly common case — even 10k partitions × 64 lists is
+    640k tiny rows) the partials are collected and summed on the
+    driver, saving one shuffle + stage PER PASS; above the bound the
+    combine stays distributed (groupBy + applyInPandas). Both paths
+    are bit-identical: the sums are int64 fixed-point, and integer
+    addition is associative/commutative, so the total is independent
+    of combine order or tier."""
     d = cents.shape[1]
 
     def partials(batches):
@@ -99,9 +109,20 @@ def _kmeans_pass(unit: DataFrame, cents: np.ndarray) -> list:
             {"list_id": [key[0]], "n": [int(pdf["n"].sum())], "s": [s.tobytes()]}
         )
 
+    part_df = unit.mapInPandas(partials, "list_id int, n long, s binary")
+    n_parts = unit.rdd.getNumPartitions()
+    if n_parts * cents.shape[0] <= 1_000_000:
+        acc: dict[int, tuple[int, np.ndarray]] = {}
+        for r in part_df.collect():
+            li = int(r["list_id"])
+            n0, s0 = acc.get(li, (0, np.zeros(d, dtype=np.int64)))
+            acc[li] = (n0 + int(r["n"]), s0 + np.frombuffer(r["s"], dtype=np.int64))
+        return [
+            {"list_id": li, "n": n0, "s": s0.tobytes()}
+            for li, (n0, s0) in sorted(acc.items())
+        ]
     return (
-        unit.mapInPandas(partials, "list_id int, n long, s binary")
-        .groupBy("list_id")
+        part_df.groupBy("list_id")
         .applyInPandas(combine, "list_id int, n long, s binary")
         .collect()
     )
@@ -197,9 +218,14 @@ def ivf_topk(
     Centroids are k-means-trained (train_iters passes) with oversized
     lists split (see train_centroids) — train_iters=0, split_oversize=
     None recovers the raw seeded-sample quantizer. Requesting
-    n_probe == n_lists means EXHAUSTIVE search and stays exhaustive even
-    when splitting grew the list count (exactness at full probe is the
-    oracle contract, independent of centroid quality).
+    n_probe == n_lists means EXHAUSTIVE search: every candidate is
+    scored exactly no matter which list holds it, so training is
+    SKIPPED in that mode (it would spend k-means jobs changing nothing
+    about the result set; exactness at full probe is the oracle
+    contract, independent of centroid quality). Full-probe mode is the
+    small/oracle regime by definition — the bounded-memory exact scale
+    path is cosine_topk_blocked; the probe regime (n_probe < n_lists)
+    keeps the trained + split (hence size-bounded) inverted lists.
     """
     if n_probe > n_lists:
         raise ValueError("n_probe must be <= n_lists")
@@ -231,15 +257,21 @@ def ivf_topk(
     n_total = unit.count()  # materializes the persist; bounded-cost
 
     cents = _centroids(embeddings, n_lists, seed, id_col, vec_col)
-    cents = train_centroids(
-        unit,
-        n_lists,
-        seed,
-        n_total,
-        cents,
-        train_iters=train_iters,
-        split_oversize=split_oversize,
-    )
+    if not full_probe:
+        # training moves list boundaries, which only matters when some
+        # lists are NOT probed; at full probe every candidate is scored
+        # exactly regardless of which list holds it, so the k-means
+        # passes would spend jobs changing nothing — skip them (the
+        # exact result set is identical by construction either way)
+        cents = train_centroids(
+            unit,
+            n_lists,
+            seed,
+            n_total,
+            cents,
+            train_iters=train_iters,
+            split_oversize=split_oversize,
+        )
     actual_probe = cents.shape[0] if full_probe else n_probe
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
