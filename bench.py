@@ -93,11 +93,22 @@ def _time_dedup(
     return best, n, h
 
 
+def _cpu_ticks() -> list[int] | None:
+    """/proc/stat first line [user nice sys idle iowait irq softirq
+    steal ...] or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):  # pragma: no cover
+        return None
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = build_session(app_name="hsearch_bench", cores=CPUS)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    ticks0 = _cpu_ticks()
 
     queries: dict[str, float] = {}
 
@@ -110,13 +121,34 @@ def main() -> None:
     queries["dedup_pipeline"] = round(elapsed, 3)
     docs_per_sec = round(n_docs / elapsed, 1)
 
+    # per-query best-of-2, same steady-state rationale as the dedup
+    # reps: a single local-mode sample swings with hypervisor steal
+    # (±2.5x observed, see BENCH.md round-3 headline); the fastest of
+    # two runs is the reproducible number. Recorded in the JSON as
+    # query_reps so rounds are compared like-for-like.
+    QUERY_REPS = 2
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        queries[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(QUERY_REPS):
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        queries[name] = round(best, 3)
 
     total = round(sum(queries.values()), 3)
+    # window-quality evidence: the sandbox is a shared-tenant VM whose
+    # hypervisor steal has measured 9.7%-14.5% of CPU under load across
+    # windows (BENCH.md round-3 headline) — a bad window inflates every
+    # number uniformly by 2x+. steal_frac_busy = steal / non-idle ticks
+    # over this run, so any single sample carries its own weather report.
+    ticks1 = _cpu_ticks()
+    steal_busy = None
+    if ticks0 is not None and ticks1 is not None:
+        d = [a - b for a, b in zip(ticks1, ticks0)]
+        nonidle = sum(d) - d[3]
+        if nonidle > 0:
+            steal_busy = round(d[7] / nonidle, 4)
     print(
         json.dumps(
             {
@@ -128,6 +160,8 @@ def main() -> None:
                 "docs_per_sec_dedup": docs_per_sec,
                 "dedup_n_docs": n_docs,
                 "cpus": CPUS,
+                "query_reps": QUERY_REPS,
+                "steal_frac_busy": steal_busy,
             }
         )
     )
