@@ -67,6 +67,14 @@ def _centroids(
 # break the cross-parallelism determinism the repo guarantees).
 _FIX = float(1 << 40)
 
+# combine-tier bound for _kmeans_pass: each task emits <= n_lists partial
+# rows, so the full partial set is n_partitions x n_lists rows; at or
+# below this many rows they are collected and summed on the driver (one
+# job, no shuffle), above it the combine stays distributed. Tier choice
+# is bit-invisible (associative int64 sums) — pinned by
+# tests/test_ann.py::test_kmeans_combine_tiers_identical.
+_DRIVER_COMBINE_MAX_ROWS = 1_000_000
+
 
 def _kmeans_pass(unit: DataFrame, cents: np.ndarray) -> list:
     """One spherical k-means assign+update pass. Returns
@@ -111,7 +119,7 @@ def _kmeans_pass(unit: DataFrame, cents: np.ndarray) -> list:
 
     part_df = unit.mapInPandas(partials, "list_id int, n long, s binary")
     n_parts = unit.rdd.getNumPartitions()
-    if n_parts * cents.shape[0] <= 1_000_000:
+    if n_parts * cents.shape[0] <= _DRIVER_COMBINE_MAX_ROWS:
         acc: dict[int, tuple[int, np.ndarray]] = {}
         for r in part_df.collect():
             li = int(r["list_id"])

@@ -61,6 +61,37 @@ def test_ivf_training_improves_recall(spark):
     assert trained >= untrained - 1e-9, (trained, untrained)
 
 
+def test_kmeans_combine_tiers_identical(spark):
+    """The per-list combine has two physical tiers (driver-summed
+    partials vs distributed groupBy+applyInPandas); both must return
+    bit-identical (list_id, n, sum) rows — int64 fixed-point sums are
+    associative, so tier choice can never change a centroid."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hsearch_spark.operators import ann
+    from hsearch_spark.operators.ann import _centroids, _kmeans_pass
+
+    e = _blobs(spark, n=300)
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    unit = e.select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x / norm).alias("v"),
+    ).repartition(9)
+    cents = _centroids(e, 8, 42, "vec_id", "embedding")
+
+    def rows_key(rows):
+        return sorted((int(r["list_id"]), int(r["n"]), bytes(r["s"])) for r in rows)
+
+    driver_rows = rows_key(_kmeans_pass(unit, cents))
+    # force the distributed tier by shrinking the driver-combine bound
+    import unittest.mock as mock
+
+    with mock.patch.object(ann, "_DRIVER_COMBINE_MAX_ROWS", 0):
+        dist_rows = rows_key(_kmeans_pass(unit, cents))
+    assert driver_rows == dist_rows
+
+
 def test_ivf_oversized_list_split(spark):
     # 90% of vectors in one tight clump → the clump's list exceeds the
     # size cap and must be split so no list dominates
