@@ -67,13 +67,18 @@ def _centroids(
 # break the cross-parallelism determinism the repo guarantees).
 _FIX = float(1 << 40)
 
-# combine-tier bound for _kmeans_pass: each task emits <= n_lists partial
-# rows, so the full partial set is n_partitions x n_lists rows; at or
-# below this many rows they are collected and summed on the driver (one
-# job, no shuffle), above it the combine stays distributed. Tier choice
-# is bit-invisible (associative int64 sums) — pinned by
+# combine-tier bounds for _kmeans_pass: each task emits <= n_lists partial
+# rows, so the full partial set is n_partitions x n_lists rows; when that
+# set is driver-small they are collected and summed on the driver (one
+# job, no shuffle), above it the combine stays distributed. The bound is
+# BYTE-aware, not just row-aware: each partial row carries a d×8-byte
+# int64 sum blob, so a row cap alone would let e.g. 1M rows × d=768
+# pull ~6 GB to the driver. Tier choice is bit-invisible (associative
+# int64 sums) — pinned by
 # tests/test_ann.py::test_kmeans_combine_tiers_identical.
 _DRIVER_COMBINE_MAX_ROWS = 1_000_000
+_DRIVER_COMBINE_MAX_BYTES = 256 << 20  # 256 MiB of partial-sum payload
+_PARTIAL_ROW_OVERHEAD = 64  # Row/pickle framing per partial row, approx
 
 
 def _kmeans_pass(unit: DataFrame, cents: np.ndarray) -> list:
@@ -119,7 +124,12 @@ def _kmeans_pass(unit: DataFrame, cents: np.ndarray) -> list:
 
     part_df = unit.mapInPandas(partials, "list_id int, n long, s binary")
     n_parts = unit.rdd.getNumPartitions()
-    if n_parts * cents.shape[0] <= _DRIVER_COMBINE_MAX_ROWS:
+    max_rows = n_parts * cents.shape[0]
+    if (
+        max_rows <= _DRIVER_COMBINE_MAX_ROWS
+        and max_rows * (d * 8 + _PARTIAL_ROW_OVERHEAD)
+        <= _DRIVER_COMBINE_MAX_BYTES
+    ):
         acc: dict[int, tuple[int, np.ndarray]] = {}
         for r in part_df.collect():
             li = int(r["list_id"])
@@ -243,20 +253,7 @@ def ivf_topk(
             [], "a long, b long, cos_sim double, rnk int"
         )
 
-    raw_norm = F.sqrt(
-        F.aggregate(
-            F.transform(vec_col, lambda x: x.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x * x,
-        )
-    )
-    # zero-vector guard: x/0.0 is NULL under non-ANSI division, and a
-    # NULL array element crashes the probe GEMM
-    norm = F.when(raw_norm == 0.0, F.lit(1.0)).otherwise(raw_norm)
-    unit = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("v"),
-    )
+    unit = _unit_vectors(embeddings, id_col, vec_col)
     # unit vectors are consumed by every training pass AND the probe
     # stage — persist once (bounded_persist evicts prior-call caches)
     from hsearch_spark.utils import bounded_persist
@@ -266,11 +263,6 @@ def ivf_topk(
 
     cents = _centroids(embeddings, n_lists, seed, id_col, vec_col)
     if not full_probe:
-        # training moves list boundaries, which only matters when some
-        # lists are NOT probed; at full probe every candidate is scored
-        # exactly regardless of which list holds it, so the k-means
-        # passes would spend jobs changing nothing — skip them (the
-        # exact result set is identical by construction either way)
         cents = train_centroids(
             unit,
             n_lists,
@@ -280,22 +272,33 @@ def ivf_topk(
             train_iters=train_iters,
             split_oversize=split_oversize,
         )
+    elif split_oversize is not None:
+        # training moves list boundaries, which only matters when some
+        # lists are NOT probed — at full probe every candidate is scored
+        # exactly regardless of which list holds it, so the k-means
+        # ITERATIONS are skipped. The oversized-list SPLIT passes are
+        # kept (train_iters=0): without them a skewed raw-sample
+        # quantizer can put nearly all vectors in one list, and at full
+        # probe every query probes that list — the cogroup sims matrix
+        # degrades toward n×n. The split keeps per-group memory bounded
+        # structurally in BOTH probe modes; the exact result set is
+        # identical by construction either way.
+        cents = train_centroids(
+            unit,
+            n_lists,
+            seed,
+            n_total,
+            cents,
+            train_iters=0,
+            split_oversize=split_oversize,
+        )
     actual_probe = cents.shape[0] if full_probe else n_probe
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def probe_udf(vecs: pd.Series) -> pd.Series:
-        m = np.stack(vecs.to_numpy())  # already unit vectors
-        sims = m @ cents.T  # (batch, n_lists)
-        # nearest lists, deterministic tie-break by list index
-        order = np.lexsort(
-            (np.broadcast_to(np.arange(cents.shape[0]), sims.shape), -sims),
-            axis=1,
-        )[:, :actual_probe]
-        return pd.Series(list(order.astype(np.int32)))
-
-    # both the inverted file and the probe side consume `probed`
+    # both the inverted file and the probe side consume `probed` — the
+    # self-search special case shares ONE assignment GEMM pass for both
     probed = bounded_persist(
-        unit.withColumn("lists", probe_udf("v")), "ann.ivf_topk"
+        unit.withColumn("lists", _probe_udf(cents, actual_probe)("v")),
+        "ann.ivf_topk",
     )
     # inverted file: a vector belongs to its single nearest list
     inv = probed.select(
@@ -308,15 +311,57 @@ def ivf_topk(
         F.col("v").alias("va"),
         F.explode("lists").alias("list_id"),
     )
+    return _search_cogroup(queries, inv, k)
 
-    # Per-list GEMM via cogroup: (queries probing list L) × (members of
-    # list L) meet in ONE pandas group each — candidate pairs are never
-    # materialized as rows, the scoring is a numpy matmul, and only each
-    # query's per-list top-k leaves the task (same total-order
-    # (-cos, id) selection as the final merge, so nothing in the global
-    # top-k is lost). List population is bounded STRUCTURALLY by the
-    # oversized-list splitting in train_centroids (split_oversize ×
-    # average), so the per-group memory here is capped by construction.
+
+def _unit_vectors(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v) with v unit-normalized double arrays; zero vectors pass
+    through unscaled (x/0.0 is NULL under non-ANSI division, and a NULL
+    array element crashes the probe GEMM)."""
+    raw_norm = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    norm = F.when(raw_norm == 0.0, F.lit(1.0)).otherwise(raw_norm)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("v"),
+    )
+
+
+def _probe_udf(cents: np.ndarray, n_probe: int):
+    """pandas UDF mapping a unit vector to its n_probe nearest centroid
+    list ids (one GEMM per Arrow batch; deterministic index tie-break)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # already unit vectors
+        sims = m @ cents.T  # (batch, n_lists)
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(cents.shape[0]), sims.shape), -sims),
+            axis=1,
+        )[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probe
+
+
+def _search_cogroup(queries: DataFrame, inv: DataFrame, k: int) -> DataFrame:
+    """(a, va, list_id) probes × (b, vb, list_id) inverted file →
+    (a, b, cos_sim, rnk), rnk <= k.
+
+    Per-list GEMM via cogroup: (queries probing list L) × (members of
+    list L) meet in ONE pandas group each — candidate pairs are never
+    materialized as rows, the scoring is a numpy matmul, and only each
+    query's per-list top-k leaves the task (same total-order (-cos, id)
+    selection as the final merge, so nothing in the global top-k is
+    lost). List population is bounded STRUCTURALLY by the oversized-list
+    splitting in train_centroids (split_oversize × average), so the
+    per-group memory here is capped by construction."""
+
     def per_list_topk(key, q_pdf, m_pdf):
         if len(q_pdf) == 0 or len(m_pdf) == 0:
             return pd.DataFrame({"a": [], "b": [], "cos_sim": []})
@@ -359,3 +404,157 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("a", "b", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: build once, probe many times.
+#
+# ivf_topk trains + assigns on every call — correct, but a production
+# similarity-search service builds the inverted file ONCE per corpus
+# snapshot and answers many query batches against it (the reference's
+# split is the same: hclust writes a centers file offline,
+# kmer_search.cpp:215-227 reads it and only ever probes). The index here
+# is (a) the trained centroid matrix and (b) the list-assigned unit
+# vectors; both persist as plain parquet so any Hadoop-compatible FS
+# (S3/HDFS/local) works, and the inverted file is PARTITIONED BY list_id
+# so a small query batch's probe reads only the probed lists' files
+# (partition pruning — the scan cost scales with n_probe/n_lists, not
+# corpus size).
+# ---------------------------------------------------------------------------
+
+
+class IvfIndex:
+    """A built IVF index: trained centroids + list-assigned unit vectors.
+
+    `inv` columns: (b long, vb array<double> unit-norm, list_id int).
+    Build with build_ivf_index, persist with .save(path), reload with
+    load_ivf_index — searches on the reloaded index are byte-identical.
+    """
+
+    def __init__(self, centroids: np.ndarray, inv: DataFrame, meta: dict):
+        self.centroids = centroids
+        self.inv = inv
+        self.meta = meta
+
+    @property
+    def n_lists(self) -> int:
+        return self.centroids.shape[0]
+
+    def save(self, path: str) -> None:
+        spark = self.inv.sparkSession
+        cent_rows = [
+            (int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)
+        ]
+        meta_cols = sorted(self.meta)
+        spark.createDataFrame(
+            [tuple([*r, *[self.meta[m] for m in meta_cols]]) for r in cent_rows],
+            ", ".join(
+                ["list_id int", "centroid array<double>"]
+                + [f"{m} long" for m in meta_cols]
+            ),
+        ).repartition(1).write.mode("overwrite").parquet(path + "/centroids")
+        # list_id partitioning => probe-time partition pruning
+        self.inv.write.mode("overwrite").partitionBy("list_id").parquet(
+            path + "/inv"
+        )
+
+    def search(
+        self,
+        queries: DataFrame,
+        k: int,
+        n_probe: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        prune_partitions: bool = True,
+    ) -> DataFrame:
+        """Top-k cosine neighbors of each query against the indexed
+        corpus: (a=query id, b=corpus id, cos_sim, rnk). A corpus vector
+        with the same id as a query is excluded (self-match semantics,
+        matching ivf_topk). NO training runs here — the index is fixed;
+        n_probe can differ per call (recall/latency knob at query time).
+
+        prune_partitions: collect the ≤ n_lists distinct probed list ids
+        (bounded driver list) and filter the inverted file on them — on
+        a parquet/Iceberg-backed index this becomes partition pruning,
+        so a small query batch scans n_probe-ish lists instead of the
+        whole corpus. Skip it for self-search-sized query sets that
+        probe everything anyway.
+        """
+        n_probe = min(n_probe, self.n_lists)
+        unit_q = _unit_vectors(queries, id_col, vec_col)
+        probed = unit_q.withColumn(
+            "lists", _probe_udf(self.centroids, n_probe)("v")
+        )
+        q = probed.select(
+            F.col("id").alias("a"),
+            F.col("v").alias("va"),
+            F.explode("lists").alias("list_id"),
+        )
+        inv = self.inv
+        if prune_partitions:
+            from hsearch_spark.utils import bounded_persist
+
+            q = bounded_persist(q, "ann.IvfIndex.search.q")
+            touched = sorted(
+                r[0] for r in q.select("list_id").distinct().collect()
+            )
+            if len(touched) < self.n_lists:
+                inv = inv.where(F.col("list_id").isin(touched))
+        return _search_cogroup(q, inv, k)
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    n_lists: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 4,
+    split_oversize: float | None = 4.0,
+) -> IvfIndex:
+    """Train centroids + assign every vector to its nearest list, once.
+
+    The returned index's inv DataFrame is persisted (bounded_persist),
+    so repeated .search() calls reuse the assignment instead of
+    re-running the GEMM pass — and .save(path) makes the reuse durable
+    across sessions."""
+    from hsearch_spark.utils import bounded_persist
+
+    unit = bounded_persist(
+        _unit_vectors(embeddings, id_col, vec_col), "ann.build_ivf_index.unit"
+    )
+    n_total = unit.count()
+    cents = _centroids(embeddings, n_lists, seed, id_col, vec_col)
+    cents = train_centroids(
+        unit,
+        n_lists,
+        seed,
+        n_total,
+        cents,
+        train_iters=train_iters,
+        split_oversize=split_oversize,
+    )
+    inv = bounded_persist(
+        unit.select(
+            F.col("id").alias("b"),
+            F.col("v").alias("vb"),
+            F.element_at(_probe_udf(cents, 1)("v"), 1).alias("list_id"),
+        ),
+        "ann.build_ivf_index.inv",
+    )
+    meta = {"seed": seed, "n_total": n_total, "train_iters": train_iters}
+    return IvfIndex(cents, inv, meta)
+
+
+def load_ivf_index(spark, path: str) -> IvfIndex:
+    cent_df = spark.read.parquet(path + "/centroids")
+    rows = cent_df.orderBy("list_id").collect()
+    cents = np.stack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in rows]
+    )
+    meta = {
+        c: int(rows[0][c]) for c in cent_df.columns
+        if c not in ("list_id", "centroid")
+    }
+    inv = spark.read.parquet(path + "/inv").select("b", "vb", "list_id")
+    return IvfIndex(cents, inv, meta)

@@ -92,9 +92,12 @@ def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     )
 
 
-def anchor_positions(docs: DataFrame, config: DedupConfig) -> DataFrame:
-    """(doc_id, text) -> (doc_id, anchor, pos): every content-defined
-    anchor with its first BYTE offset in the UTF-8 text.
+def anchor_positions(
+    docs: DataFrame, config: DedupConfig, max_positions: int = 4
+) -> DataFrame:
+    """(doc_id, text) -> (doc_id, anchor, pos): each content-defined
+    anchor with up to `max_positions` earliest BYTE offsets in the UTF-8
+    text (position order, deterministic).
 
     Same kernel as the signature pass (hashing._prefix_tables /
     _window_hashes, identical filter hash % anchor_mod == 0, identical
@@ -104,9 +107,22 @@ def anchor_positions(docs: DataFrame, config: DedupConfig) -> DataFrame:
     pairs that survive the anchor-count gate, so the span-extension
     caller extracts them for that doc subset only (semi-join), never
     corpus-wide.
+
+    Multiple positions per anchor matter for repeated web boilerplate:
+    an anchor gram that also occurs BEFORE the shared span in one doc
+    (a navigation phrase repeated pre-span) would, under first-only
+    positions, seed the extension at non-corresponding occurrences and
+    silently shrink or drop the pair. Keeping the first few occurrences
+    per side lets the extension try every combination and pick the one
+    that actually extends (anchor_span_edges).
     """
     gram = config.anchor_gram
     mod = np.uint64(config.anchor_mod)
+    empty = {
+        "doc_id": np.empty(0, dtype=np.int64),
+        "anchor": np.empty(0, dtype=np.int64),
+        "pos": np.empty(0, dtype=np.int32),
+    }
 
     def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
@@ -120,26 +136,45 @@ def anchor_positions(docs: DataFrame, config: DedupConfig) -> DataFrame:
                 spad, inv = H._prefix_tables(data)
                 a = H._window_hashes(spad, inv, gram)
                 mask = a % mod == 0
-                # first occurrence per anchor value (np.unique returns
-                # the smallest index of each) — deterministic and enough
-                # for extension: any occurrence inside a shared span
-                # extends to the same maximal span
-                vals, first = np.unique(a[mask], return_index=True)
-                pos = np.flatnonzero(mask)[first]
-                out_id.append(np.full(vals.shape[0], ids[i], dtype=np.int64))
-                out_anchor.append(vals.astype(np.int64))
-                out_pos.append(pos.astype(np.int32))
+                idx = np.flatnonzero(mask)
+                if idx.size == 0:
+                    continue
+                vals = a[mask]
+                # group by anchor value, keep the max_positions earliest
+                # offsets of each: sort by (value, offset) and rank
+                # within each value run — fully vectorized
+                order = np.lexsort((idx, vals))
+                sv, si = vals[order], idx[order]
+                is_first = np.empty(sv.shape[0], dtype=bool)
+                is_first[0] = True
+                is_first[1:] = sv[1:] != sv[:-1]
+                run_start = np.maximum.accumulate(
+                    np.where(is_first, np.arange(sv.shape[0]), 0)
+                )
+                rank = np.arange(sv.shape[0]) - run_start
+                keep = rank < max_positions
+                out_id.append(
+                    np.full(int(keep.sum()), ids[i], dtype=np.int64)
+                )
+                out_anchor.append(sv[keep].astype(np.int64))
+                out_pos.append(si[keep].astype(np.int32))
+            cols = (
+                {
+                    "doc_id": np.concatenate(out_id),
+                    "anchor": np.concatenate(out_anchor),
+                    "pos": np.concatenate(out_pos),
+                }
+                if out_id
+                else empty
+            )
+            # explicit Arrow types on EVERY column: an empty python list
+            # would otherwise infer null type for doc_id and break the
+            # declared mapInArrow schema on empty batches
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(np.concatenate(out_id) if out_id else []),
-                    pa.array(
-                        np.concatenate(out_anchor) if out_anchor else [],
-                        type=pa.int64(),
-                    ),
-                    pa.array(
-                        np.concatenate(out_pos) if out_pos else [],
-                        type=pa.int32(),
-                    ),
+                    pa.array(cols["doc_id"], type=pa.int64()),
+                    pa.array(cols["anchor"], type=pa.int64()),
+                    pa.array(cols["pos"], type=pa.int32()),
                 ],
                 names=["doc_id", "anchor", "pos"],
             )
@@ -150,7 +185,10 @@ def anchor_positions(docs: DataFrame, config: DedupConfig) -> DataFrame:
 
 
 def anchor_span_edges(
-    docs: DataFrame, config: DedupConfig | None = None
+    docs: DataFrame,
+    config: DedupConfig | None = None,
+    max_positions: int = 4,
+    max_seeds: int = 24,
 ) -> DataFrame:
     """V2 — seed match + UNGAPPED EXTENSION, closing the reference's
     two-phase span verify: hash_search seeds a hit, then extends the
@@ -162,12 +200,36 @@ def anchor_span_edges(
     Plan (all stages bounded by the candidate gate, never corpus-wide):
       1. candidate pairs   = substring_edges(sigs) — bounded pairing
       2. positions         = anchor_positions() over ONLY the docs that
-                             appear in a pair (semi-join pruned)
-      3. one seed per pair = min shared anchor (deterministic), first
-                             byte offset on each side
-      4. extension kernel  = mapInArrow: numpy byte-compare outward from
-                             the seed on both sides; left run + gram +
-                             right run = maximal ungapped span
+                             appear in a pair (semi-join pruned); up to
+                             `max_positions` occurrences per anchor side
+      3. seeds per pair    = the first `max_seeds` (anchor, pos_a, pos_b)
+                             combinations in (anchor, pos_a, pos_b) order
+                             — bounded BEFORE the groupBy by a rank-limit
+                             window (WindowGroupLimit: per-key state is
+                             capped pre-shuffle, a boilerplate-heavy pair
+                             never materializes an unbounded seed array)
+      4. extension kernel  = mapInArrow: for each seed, first verify the
+                             gram bytes actually match (64-bit rolling
+                             hashes can collide; a collision would report
+                             a span whose seed window differs — the guard
+                             drops that seed instead), then numpy
+                             byte-compare outward on both sides; left run
+                             + gram + right run = maximal ungapped span.
+                             The pair reports its BEST seed (max span,
+                             first-in-order on ties — deterministic).
+
+    Multiple seeds close the repeated-boilerplate failure mode: if the
+    chosen anchor's gram also occurs before the shared span on one side
+    (nav text repeated pre-span — common in web pages), the first-
+    occurrence seed pairs non-corresponding offsets and the extension
+    collapses. Trying every (pos_a, pos_b) combination of the earliest
+    `max_positions` occurrences per side (per shared anchor, in anchor
+    order) finds the corresponding pair whenever each side's true span
+    occurrence is within its first `max_positions` occurrences of some
+    shared anchor — with ~(L-gram)/mod shared anchors per span, the
+    chance that EVERY one of them is repeated >max_positions times
+    pre-span is negligible outside adversarial input.
+
     Emits (a, b, a_start, b_start, span_len) with span_len >=
     config.min_span; offsets are BYTE offsets into the UTF-8 text
     (exact-match extension is byte-exact, so byte space is the correct
@@ -184,29 +246,32 @@ def anchor_span_edges(
         .distinct()
     )
     subset = docs.join(pair_docs, "doc_id", "left_semi")
-    pos = anchor_positions(subset, config)
+    pos = anchor_positions(subset, config, max_positions=max_positions)
+    seed_rows = pairs.join(
+        pos.select(
+            F.col("doc_id").alias("a"),
+            "anchor",
+            F.col("pos").alias("pos_a"),
+        ),
+        "a",
+    ).join(
+        pos.select(
+            F.col("doc_id").alias("b"),
+            "anchor",
+            F.col("pos").alias("pos_b"),
+        ),
+        ["b", "anchor"],
+    )
+    w = Window.partitionBy("a", "b").orderBy("anchor", "pos_a", "pos_b")
     seeded = (
-        pairs.join(
-            pos.select(
-                F.col("doc_id").alias("a"),
-                "anchor",
-                F.col("pos").alias("pos_a"),
-            ),
-            "a",
-        )
-        .join(
-            pos.select(
-                F.col("doc_id").alias("b"),
-                "anchor",
-                F.col("pos").alias("pos_b"),
-            ),
-            ["b", "anchor"],
-        )
+        seed_rows.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= max_seeds)
         .groupBy("a", "b")
         .agg(
-            F.min(F.struct("anchor", "pos_a", "pos_b")).alias("seed")
+            F.array_sort(
+                F.collect_list(F.struct("anchor", "pos_a", "pos_b"))
+            ).alias("seeds")
         )
-        .select("a", "b", "seed.pos_a", "seed.pos_b")
     )
     texts = docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
     with_text = (
@@ -222,7 +287,7 @@ def anchor_span_edges(
             ),
             "b",
         )
-        .select("a", "b", "pos_a", "pos_b", "text_a", "text_b")
+        .select("a", "b", "seeds", "text_a", "text_b")
     )
     gram = config.anchor_gram
     min_span = config.min_span
@@ -242,25 +307,36 @@ def anchor_span_edges(
                 tb = np.frombuffer(
                     d["text_b"][i].encode("utf-8"), dtype=np.uint8
                 )
-                pa_, pb = d["pos_a"][i], d["pos_b"][i]
-                m = min(pa_, pb)
-                lcmp = ta[pa_ - m : pa_] != tb[pb - m : pb]
-                bad = np.flatnonzero(lcmp)
-                left = m if bad.size == 0 else m - 1 - int(bad[-1])
-                m2 = min(ta.shape[0] - pa_, tb.shape[0] - pb) - gram
-                rcmp = (
-                    ta[pa_ + gram : pa_ + gram + m2]
-                    != tb[pb + gram : pb + gram + m2]
-                )
-                bad2 = np.flatnonzero(rcmp)
-                right = m2 if bad2.size == 0 else int(bad2[0])
-                span = left + gram + right
-                if span >= min_span:
+                best = None  # (span, a_start, b_start)
+                for s in d["seeds"][i]:
+                    pa_, pb = s["pos_a"], s["pos_b"]
+                    # hash-collision guard: the seed windows must be
+                    # byte-identical before extension may claim an
+                    # exact-match span through them
+                    if not np.array_equal(
+                        ta[pa_ : pa_ + gram], tb[pb : pb + gram]
+                    ):
+                        continue
+                    m = min(pa_, pb)
+                    lcmp = ta[pa_ - m : pa_] != tb[pb - m : pb]
+                    bad = np.flatnonzero(lcmp)
+                    left = m if bad.size == 0 else m - 1 - int(bad[-1])
+                    m2 = min(ta.shape[0] - pa_, tb.shape[0] - pb) - gram
+                    rcmp = (
+                        ta[pa_ + gram : pa_ + gram + m2]
+                        != tb[pb + gram : pb + gram + m2]
+                    )
+                    bad2 = np.flatnonzero(rcmp)
+                    right = m2 if bad2.size == 0 else int(bad2[0])
+                    span = left + gram + right
+                    if best is None or span > best[0]:
+                        best = (span, pa_ - left, pb - left)
+                if best is not None and best[0] >= min_span:
                     out["a"].append(d["a"][i])
                     out["b"].append(d["b"][i])
-                    out["a_start"].append(pa_ - left)
-                    out["b_start"].append(pb - left)
-                    out["span_len"].append(span)
+                    out["a_start"].append(best[1])
+                    out["b_start"].append(best[2])
+                    out["span_len"].append(best[0])
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out["a"], type=pa.int64()),

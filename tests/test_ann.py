@@ -140,3 +140,85 @@ def test_ivf_zero_vector_and_empty(spark):
     # empty input returns an empty typed frame, not a crash
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert ivf_topk(empty, k=3, n_lists=4, n_probe=2).count() == 0
+
+
+def test_ivf_index_build_once_probe_many(spark, tmp_path):
+    """Persisted-index contract: build ONCE, then (a) self-search through
+    the index matches ivf_topk's per-call-trained result, (b) a second
+    search at a different n_probe reuses the same index (no retrain —
+    centroids object identity), and (c) save → load → search is
+    byte-identical to the in-memory index."""
+    from hsearch_spark.operators.ann import build_ivf_index, load_ivf_index
+
+    e = _blobs(spark, n=200)
+    idx = build_ivf_index(e, n_lists=8, seed=42)
+    cents_before = idx.centroids
+
+    got = sorted(
+        map(tuple, idx.search(e, k=3, n_probe=2, prune_partitions=False).collect())
+    )
+    want = sorted(map(tuple, ivf_topk(e, k=3, n_lists=8, n_probe=2).collect()))
+    assert got == want
+
+    wide = sorted(map(tuple, idx.search(e, k=3, n_probe=4).collect()))
+    assert idx.centroids is cents_before  # no retrain on search
+    assert len(wide) == len(got)
+
+    path = str(tmp_path / "ivf_index")
+    idx.save(path)
+    loaded = load_ivf_index(spark, path)
+    assert np.array_equal(loaded.centroids, idx.centroids)
+    got2 = sorted(map(tuple, loaded.search(e, k=3, n_probe=2).collect()))
+    assert got2 == got
+
+
+def test_ivf_index_search_prunes_partitions(spark, tmp_path):
+    """A small query batch must read only its probed lists' files from
+    the persisted inverted file (partition pruning on list_id)."""
+    from hsearch_spark.operators.ann import build_ivf_index, load_ivf_index
+
+    e = _blobs(spark, n=200)
+    path = str(tmp_path / "ivf_index")
+    build_ivf_index(e, n_lists=8, seed=42).save(path)
+    loaded = load_ivf_index(spark, path)
+
+    queries = e.limit(3)
+    res = loaded.search(queries, k=3, n_probe=2)
+    # the physical scan of the inverted file must carry a list_id
+    # partition filter (directory-level pruning; inputFiles() reports
+    # the pre-pruning relation so inspect the plan instead)
+    jqe = res._jdf.queryExecution()
+    plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        jqe, "formatted"
+    )
+    scans = [b for b in plan.split("\n\n") if "PartitionFilters" in b]
+    pf_lines = [
+        ln
+        for b in scans
+        for ln in b.splitlines()
+        if "PartitionFilters" in ln and "list_id" in ln
+    ]
+    assert pf_lines, plan
+    # and the pruned search still answers: 3 queries x k rows
+    assert res.groupBy("a").count().count() == 3
+
+
+def test_ivf_full_probe_skewed_quantizer_still_splits(spark):
+    """At full probe the k-means iterations are skipped but the
+    oversized-list SPLIT must still run: a skewed raw-sample quantizer
+    would otherwise put ~all vectors in one list and make the full-probe
+    cogroup's sims matrix ~n x n. Splitting grows the centroid count, so
+    the result frame must still be exact vs brute force."""
+    rng = np.random.default_rng(9)
+    clump = rng.standard_normal(16) * 3
+    rows = [
+        (i, [float(x) for x in clump + rng.standard_normal(16) * 0.05])
+        for i in range(180)
+    ] + [
+        (1000 + i, [float(x) for x in rng.standard_normal(16) * 3])
+        for i in range(20)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = _topk_sets(cosine_topk_bruteforce(e, k=5), 5)
+    ivf = _topk_sets(ivf_topk(e, k=5, n_lists=8, n_probe=8), 5)
+    assert ivf == exact

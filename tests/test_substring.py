@@ -145,3 +145,36 @@ def test_anchor_span_extension_spans_to_text_edges(spark):
     assert r["span_len"] == len(span)
     assert r["a_start"] == 0
     assert r["b_start"] == len(texts[1]) - len(span)
+
+
+def test_anchor_span_extension_survives_pre_span_repeat(spark):
+    """Repeated-boilerplate failure mode (web text): a chunk of the
+    shared span's content ALSO occurs before the span in one document.
+    First-occurrence-only seeding would pair non-corresponding offsets
+    (the pre-span repeat in doc 0 vs the in-span occurrence in doc 1),
+    collapse the extension, and silently drop or shrink the pair. The
+    multi-seed extension must still recover the FULL planted span at
+    the correct offsets."""
+    from hsearch_spark.operators.substring import anchor_span_edges
+
+    span = (
+        "this long shared span of copied text appears inside both "
+        "documents verbatim " * 4
+    )  # 308 chars > min_span=200
+    # the repeat is the span's own first 120 chars, planted pre-span in
+    # doc 0 only — every anchor in that prefix now has its FIRST doc-0
+    # occurrence outside the true span
+    repeat = span[:120]
+    head_a = "unique preamble alpha beta gamma " * 3 + repeat + " filler Q"
+    head_b = "different opening content entirely xx " * 6 + "Z"
+    texts = [
+        head_a + span + "tail one",
+        head_b + span + "other tail",
+        "no shared content at all in this one " * 12,
+    ]
+    got = anchor_span_edges(_docs_df(spark, texts), CFG).collect()
+    assert {(r["a"], r["b"]) for r in got} == {(0, 1)}
+    (r,) = got
+    assert r["span_len"] == len(span)
+    assert r["a_start"] == len(head_a)
+    assert r["b_start"] == len(head_b)
