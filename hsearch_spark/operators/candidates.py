@@ -201,6 +201,33 @@ def dropped_pairs_metrics(
     )
 
 
+def simhash_keyed(
+    sigs: DataFrame, config: DedupConfig
+) -> tuple[DataFrame, int]:
+    """(doc_id, combo_key) block-permutation keying for the SimHash
+    channel + the per-doc key count — shared by simhash_candidates and
+    the dropped-pairs ledger (both must see the identical key space)."""
+    h = config.simhash_hamming_max
+    nb = config.simhash_blocks
+    bits = config.simhash_bits
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offsets = [sum(widths[:i]) for i in range(nb)]
+
+    def block(i: int) -> F.Column:
+        return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+
+    combos = list(itertools.combinations(range(nb), nb - h))
+    keys = F.array(
+        *[
+            F.xxhash64(F.lit(ci), *[block(i) for i in combo])
+            for ci, combo in enumerate(combos)
+        ]
+    )
+    return sigs.select("doc_id", F.explode(keys).alias("combo_key")), len(combos)
+
+
 def simhash_candidates(
     sigs: DataFrame, config: DedupConfig, input_rows: int | None = None
 ) -> DataFrame:
@@ -235,32 +262,14 @@ def simhash_candidates(
     knows it — lets the broadcast guard prove safety without a runtime
     count (combo-key rows are exactly C(blocks, blocks-h) per doc).
     """
-    h = config.simhash_hamming_max
-    nb = config.simhash_blocks
-    bits = config.simhash_bits
-    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
-    offsets = [sum(widths[:i]) for i in range(nb)]
-
-    def block(i: int) -> F.Column:
-        return F.shiftrightunsigned(F.col("simhash"), offsets[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
-        )
-
-    combos = list(itertools.combinations(range(nb), nb - h))
-    keys = F.array(
-        *[
-            F.xxhash64(F.lit(ci), *[block(i) for i in combo])
-            for ci, combo in enumerate(combos)
-        ]
-    )
-    keyed = sigs.select("doc_id", F.explode(keys).alias("combo_key"))
-    # keyed has exactly len(combos) rows per doc → the guard's proven
+    keyed, n_combos = simhash_keyed(sigs, config)
+    # keyed has exactly n_combos rows per doc → the guard's proven
     # bound needs only #docs from the caller
     pairs = bucket_pairs_grouped(
         keyed,
         ["combo_key"],
         config,
-        input_rows=None if input_rows is None else input_rows * len(combos),
+        input_rows=None if input_rows is None else input_rows * n_combos,
     )
     sim = sigs.select("doc_id", "simhash")
     sa = sim.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"))
@@ -269,7 +278,8 @@ def simhash_candidates(
         pairs.join(sa, "a")
         .join(sb, "b")
         .where(
-            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))) <= h
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+            <= config.simhash_hamming_max
         )
         .select("a", "b")
     )

@@ -41,6 +41,10 @@ class DedupResult:
     edges: DataFrame              # (a, b, jaccard, method)
     docs: DataFrame               # (doc_id, url, text, lang)
     metrics: dict = field(default_factory=dict)
+    # no-silent-truncation ledger: per hot bucket, how many all-pairs
+    # candidates the star-R policy did NOT emit (channel, *key, n,
+    # dropped_pairs). None only when emit_dropped_ledger=False.
+    dropped_pairs: DataFrame | None = None
 
 
 def run_dedup(
@@ -51,6 +55,7 @@ def run_dedup(
     enable_simhash_channel: bool = False,
     enable_substring_channel: bool = True,
     concurrent_channels: bool | None = None,
+    emit_dropped_ledger: bool = True,
 ) -> DedupResult:
     """Full pipeline. If work_dir is set, stages checkpoint + resume there."""
     config = config or DedupConfig()
@@ -187,7 +192,55 @@ def run_dedup(
         ),
     )
 
+    # no-silent-truncation ledger (north rule: per-partition lineage +
+    # metrics): for every hot bucket the star-R policy bounded, record
+    # how many all-pairs candidates were NOT emitted — the auditable
+    # counterpart of the reference's silent 500-hit cap
+    # (pcluster.cpp:115-116). Checkpointed as its own stage when a
+    # work_dir is set (row count lands in stage metrics for free);
+    # otherwise left LAZY in the result so the hot path pays nothing
+    # unless the caller consumes it.
+    dropped = None
+    if emit_dropped_ledger:
+        from hsearch_spark.operators.candidates import (
+            dropped_pairs_metrics,
+            simhash_keyed,
+        )
+
+        def build_ledger() -> DataFrame:
+            band_led = dropped_pairs_metrics(
+                explode_bands(sigs, config), config
+            ).select(
+                F.lit("minhash_bands").alias("channel"),
+                F.concat_ws(
+                    ":", F.col("band_id").cast("string"),
+                    F.col("band_hash").cast("string"),
+                ).alias("bucket_key"),
+                F.col("n").alias("bucket_size"),
+                "dropped_pairs",
+            )
+            parts_ = [band_led]
+            if enable_simhash_channel:
+                keyed, _ = simhash_keyed(sigs, config)
+                parts_.append(
+                    dropped_pairs_metrics(keyed, ["combo_key"], config).select(
+                        F.lit("simhash_combos").alias("channel"),
+                        F.col("combo_key").cast("string").alias("bucket_key"),
+                        F.col("n").alias("bucket_size"),
+                        "dropped_pairs",
+                    )
+                )
+            out = parts_[0]
+            for p in parts_[1:]:
+                out = out.unionByName(p)
+            return out
+
+        if store is not None:
+            dropped = stage("dropped_pairs", build_ledger)
+        else:
+            dropped = build_ledger()
+
     metrics = {"timings_sec": timings}
     if store is not None:
         metrics["stages"] = store.metrics
-    return DedupResult(assignments, edges, docs, metrics)
+    return DedupResult(assignments, edges, docs, metrics, dropped)

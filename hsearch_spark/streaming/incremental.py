@@ -35,8 +35,12 @@ DataFrame ops + idempotent sink writes):
       resulting root-remap is applied to the snapshot. New edges can
       only ever MERGE clusters, never split them, so this is exact —
       the O(all-edges-ever) CC recompute of the naive design never runs.
-   e. append the new sigs/bands/docs to state; write the new clusters
-      snapshot keyed by batch_id.
+   e. append the new sigs/bands/docs to state; rewrite ONLY the cluster-
+      snapshot buckets the merge changed (bucket-wise copy-on-write,
+      layout clusters/state_bucket=K/batch_id=N — the logical snapshot
+      is each bucket's latest version, so a batch whose merges touch 3
+      buckets writes 3 bucket versions, not the whole assignment table;
+      a batch with no new merges writes nothing).
 3. `compact_state()` rewrites the many small per-batch files into one
    partitioned layout (what Iceberg's rewrite_data_files maintenance
    action does) — run it on whatever cadence file counts demand.
@@ -127,13 +131,21 @@ class IncrementalDedup:
         else:
             df.write.mode("overwrite").parquet(path)
 
-    def compact_state(self, names: tuple[str, ...] = ("bands", "sigs", "docs", "edges")) -> None:
+    def compact_state(
+        self,
+        names: tuple[str, ...] = ("bands", "sigs", "docs", "edges", "clusters"),
+    ) -> None:
         """Rewrite each state table's many small per-batch files into one
         consolidated batch (`batch_id=-1`), preserving the bucket
         partitioning. The Iceberg analog is the rewrite_data_files
         maintenance action; here it is read → rewrite → atomic-ish swap.
-        Snapshot-read semantics make this safe between batches."""
+        Snapshot-read semantics make this safe between batches. The
+        clusters snapshot compacts bucket-wise (compact_clusters):
+        each bucket keeps only its latest version."""
         for name in names:
+            if name == "clusters":
+                self.compact_clusters()
+                continue
             path = self._path(name)
             try:
                 df = self.spark.read.parquet(path)
@@ -151,44 +163,143 @@ class IncrementalDedup:
             os.rename(tmp, path)
 
     # ---------------- clusters snapshot ----------------
+    #
+    # The snapshot is BUCKET-WISE COPY-ON-WRITE: layout
+    # clusters/state_bucket=K/batch_id=N/ where each bucket dir holds
+    # versioned full copies of ONLY that doc-hash bucket's rows, and the
+    # logical snapshot is "each bucket's highest batch_id". A micro-batch
+    # rewrites only the buckets its merge actually changes — at a crawl's
+    # steady state (small batch, huge corpus) that is a handful of
+    # buckets, not the whole assignment table (the Iceberg analog is a
+    # partition-granular copy-on-write MERGE). Older bucket versions stay
+    # until compact_state() collapses them (retry of batch N derives from
+    # versions strictly below N).
 
-    def _latest_snapshot(self, below_batch: int | None = None):
-        """(assignments df | None) from the highest-batch_id snapshot,
-        optionally restricted to snapshots strictly below `below_batch`
-        (retry idempotence: batch N derives from state before N)."""
+    def _snapshot_bucket_paths(
+        self, below_batch: int | None = None, buckets: list[int] | None = None
+    ) -> list[str]:
         root = self._path("clusters")
         if not os.path.isdir(root):
+            return []
+        want = None if buckets is None else {int(b) for b in buckets}
+        paths = []
+        for d in sorted(os.listdir(root)):
+            if not d.startswith("state_bucket="):
+                continue
+            k = int(d.split("=", 1)[1])
+            if want is not None and k not in want:
+                continue
+            ids = [
+                int(b.split("=", 1)[1])
+                for b in os.listdir(os.path.join(root, d))
+                if b.startswith("batch_id=")
+            ]
+            ids = [i for i in ids if below_batch is None or i < below_batch]
+            if ids:
+                paths.append(os.path.join(root, d, f"batch_id={max(ids)}"))
+        return paths
+
+    def _latest_snapshot(
+        self, below_batch: int | None = None, buckets: list[int] | None = None
+    ):
+        """(doc_id, cluster_id) assignments | None — the union of each
+        bucket's latest version, optionally restricted to versions
+        strictly below `below_batch` (retry idempotence: batch N derives
+        from state before N) and/or to the named doc-hash `buckets`
+        (probe-time pruning: the root lookup for a batch's edges only
+        needs the endpoints' buckets)."""
+        paths = self._snapshot_bucket_paths(below_batch, buckets)
+        if not paths:
             return None
-        ids = []
-        for d in os.listdir(root):
-            if d.startswith("batch_id="):
-                b = int(d.split("=", 1)[1])
-                if below_batch is None or b < below_batch:
-                    ids.append(b)
-        if not ids:
-            return None
-        path = os.path.join(root, f"batch_id={max(ids)}")
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(*paths).select("doc_id", "cluster_id")
+
+    def _write_snapshot_buckets(self, df: DataFrame, batch_id: int) -> None:
+        """Write (doc_id, cluster_id) rows as new versions of exactly the
+        buckets they hash into: one partitioned Spark write to a staging
+        dir, then per-bucket directory moves into the versioned layout."""
+        root = self._path("clusters")
+        staging = self._path(f"clusters__staging_{batch_id}")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        df.withColumn("state_bucket", self._doc_bucket()).write.partitionBy(
+            "state_bucket"
+        ).parquet(staging)
+        for d in os.listdir(staging):
+            if not d.startswith("state_bucket="):
+                continue
+            target_parent = os.path.join(root, d)
+            os.makedirs(target_parent, exist_ok=True)
+            target = os.path.join(target_parent, f"batch_id={batch_id}")
+            if os.path.exists(target):  # micro-batch retry
+                shutil.rmtree(target)
+            os.rename(os.path.join(staging, d), target)
+        shutil.rmtree(staging)
 
     def _write_snapshot(self, df: DataFrame, batch_id: int) -> None:
-        path = os.path.join(self._path("clusters"), f"batch_id={batch_id}")
-        df.write.mode("overwrite").parquet(path)
+        """Full-snapshot write (bootstrap / tests): every row's bucket
+        gets a version at batch_id."""
+        self._write_snapshot_buckets(df, batch_id)
+
+    def compact_clusters(self) -> None:
+        """Collapse each snapshot bucket to a single batch_id=-1 version
+        (its current latest). Run between batches, like compact_state:
+        a later retry of an already-folded batch re-derives the identical
+        snapshot because merges are idempotent (re-contracting an edge
+        through roots that already reflect it yields no remap)."""
+        root = self._path("clusters")
+        if not os.path.isdir(root):
+            return
+        latest = self._latest_snapshot()
+        if latest is None:
+            return
+        staging = self._path("clusters__compacting")
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        latest.withColumn("state_bucket", self._doc_bucket()).write.partitionBy(
+            "state_bucket"
+        ).parquet(staging)
+        shutil.rmtree(root)
+        os.makedirs(root)
+        for d in os.listdir(staging):
+            if not d.startswith("state_bucket="):
+                continue
+            target_parent = os.path.join(root, d)
+            os.makedirs(target_parent, exist_ok=True)
+            os.rename(
+                os.path.join(staging, d),
+                os.path.join(target_parent, "batch_id=-1"),
+            )
+        shutil.rmtree(staging)
 
     def _merge_clusters(self, edges: DataFrame, batch_id: int) -> None:
-        """Merge-only incremental CC. Snapshot rows are (doc_id,
-        cluster_id) for NON-singleton members only (member != root);
-        root(x) = coalesce(lookup(x), x). New edges are contracted to
-        (root_a, root_b); same-root edges vanish; CC runs on the tiny
-        remainder; the root-remap rewrites the snapshot."""
+        """Merge-only incremental CC with bucket-granular writes.
+        Snapshot rows are (doc_id, cluster_id) for NON-singleton members
+        only (member != root); root(x) = coalesce(lookup(x), x). New
+        edges are contracted through the roots (lookup read PRUNED to
+        the endpoints' buckets); same-root edges vanish; CC runs on the
+        tiny remainder; and only the buckets the remap actually touches
+        — buckets holding members of a remapped cluster, plus buckets
+        receiving brand-new rows — are rewritten. A batch whose edges
+        are all already-known writes NOTHING."""
         from hsearch_spark.operators.components import connected_components
 
-        prev = self._latest_snapshot(below_batch=batch_id)
         e = edges.select("a", "b")
-        if prev is not None:
-            ra = prev.select(
+        end_buckets = [
+            r[0]
+            for r in e.select(
+                F.explode(
+                    F.array(self._doc_bucket("a"), self._doc_bucket("b"))
+                ).alias("db")
+            )
+            .distinct()
+            .collect()
+        ]
+        lookup = self._latest_snapshot(below_batch=batch_id, buckets=end_buckets)
+        if lookup is not None:
+            ra = lookup.select(
                 F.col("doc_id").alias("a"), F.col("cluster_id").alias("_ra")
             )
-            rb = prev.select(
+            rb = lookup.select(
                 F.col("doc_id").alias("b"), F.col("cluster_id").alias("_rb")
             )
             e = (
@@ -201,23 +312,43 @@ class IncrementalDedup:
             )
         contracted = e.where(F.col("a") != F.col("b")).dropDuplicates(["a", "b"])
         remap = connected_components(contracted)  # (doc_id=old root, cluster_id=new)
-        new_rows = remap.where(F.col("doc_id") != F.col("cluster_id"))
-        if prev is not None:
-            rm = new_rows.select(
-                F.col("doc_id").alias("cluster_id"),
-                F.col("cluster_id").alias("_new"),
-            )
-            updated = (
-                prev.join(rm, "cluster_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("_new", "cluster_id").alias("cluster_id"),
-                )
-            )
-            snapshot = updated.unionByName(new_rows).dropDuplicates(["doc_id"])
+        new_rows = remap.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).localCheckpoint()
+        if new_rows.isEmpty():
+            return  # every edge was already known — zero snapshot I/O
+        prev = self._latest_snapshot(below_batch=batch_id)
+        if prev is None:
+            self._write_snapshot_buckets(new_rows, batch_id)
+            return
+        rm = new_rows.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("cluster_id").alias("_new"),
+        )
+        # members of remapped clusters: a column-pruned scan of the
+        # snapshot's cluster_id column (at 10^12-doc scale a persisted
+        # root→bucket index would prune this too; the rewrite itself is
+        # already bucket-granular)
+        changed_prev = prev.join(
+            F.broadcast(rm.select("cluster_id")), "cluster_id", "left_semi"
+        )
+        touched = [
+            r[0]
+            for r in changed_prev.select(self._doc_bucket().alias("db"))
+            .union(new_rows.select(self._doc_bucket().alias("db")))
+            .distinct()
+            .collect()
+        ]
+        in_touched = self._latest_snapshot(below_batch=batch_id, buckets=touched)
+        if in_touched is None:  # new rows land only in never-written buckets
+            content = new_rows
         else:
-            snapshot = new_rows
-        self._write_snapshot(snapshot, batch_id)
+            updated = in_touched.join(F.broadcast(rm), "cluster_id", "left").select(
+                "doc_id",
+                F.coalesce("_new", "cluster_id").alias("cluster_id"),
+            )
+            content = updated.unionByName(new_rows).dropDuplicates(["doc_id"])
+        self._write_snapshot_buckets(content, batch_id)
 
     # ---------------- the micro-batch body ----------------
 

@@ -185,3 +185,36 @@ def test_fused_and_threaded_channels_equivalent(spark, tmp_path):
     cf = {r["doc_id"]: r["cluster_id"] for r in fused.clusters.collect()}
     ct = {r["doc_id"]: r["cluster_id"] for r in threaded.clusters.collect()}
     assert cf == ct
+
+
+def test_dropped_pairs_ledger_emitted(spark, tmp_path):
+    """The star-R hot-bucket policy's not-emitted pairs are an emitted,
+    auditable ledger on the result — per hot bucket, the exact count of
+    all-pairs candidates the bounded pairing skipped (no silent
+    truncation). Forcing a tiny all-pairs cap over a boilerplate-heavy
+    fixture must yield hot buckets, and each ledger row must match the
+    closed-form count C(n,2) - (R*n - R(R+1)/2)."""
+    cfg = DedupConfig(max_bucket_all_pairs=3, star_representatives=2)
+    pages, _ = pages_dataframe(spark, n_docs=120, seed=13)
+    res = run_dedup(
+        spark, pages, config=cfg, work_dir=str(tmp_path / "w"),
+        enable_substring_channel=False,
+    )
+    assert res.dropped_pairs is not None
+    rows = res.dropped_pairs.collect()
+    assert rows, "tiny cap over dup families must produce hot buckets"
+    r = cfg.star_representatives
+    for row in rows:
+        n = row["bucket_size"]
+        assert n > cfg.max_bucket_all_pairs
+        want = n * (n - 1) // 2 - (r * n - r * (r + 1) // 2)
+        assert row["dropped_pairs"] == want
+        assert row["channel"] == "minhash_bands"
+    # checkpointed as a stage: row count is in the stage metrics
+    assert "dropped_pairs" in res.metrics["stages"]
+    # and the default (no work_dir) path still carries the lazy ledger
+    res2 = run_dedup(
+        spark, pages, config=cfg, enable_substring_channel=False
+    )
+    assert res2.dropped_pairs is not None
+    assert res2.dropped_pairs.count() == len(rows)

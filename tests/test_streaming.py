@@ -186,3 +186,53 @@ def test_real_streaming_query_file_source(spark, tmp_path):
     # duplicate families must have merged across batches: fewer clusters
     # than docs
     assert clusters.select("cluster_id").distinct().count() < 80
+
+
+def test_snapshot_rewrites_only_touched_buckets(spark, tmp_path):
+    """Bucket-wise copy-on-write: a micro-batch whose merges touch a few
+    doc-hash buckets must version ONLY those buckets — every other
+    bucket's latest version stays at the earlier batch_id (no whole-
+    snapshot rewrite), and a batch with no new merges writes nothing."""
+    import os
+
+    h1, h2, _ = _halves(spark, n=200, seed=31)
+    inc = IncrementalDedup(spark, str(tmp_path / "state"))
+    inc.process_batch(h1, 0)
+    root = tmp_path / "state" / "clusters"
+    buckets_b0 = {
+        d.name: sorted(os.listdir(root / d.name))
+        for d in root.iterdir()
+        if d.name.startswith("state_bucket=")
+    }
+    assert buckets_b0, "batch 0 must create snapshot buckets"
+
+    # batch 1: new docs (disjoint families) merge among themselves — the
+    # rewrite must be confined to the new rows' buckets
+    inc.process_batch(h2, 1)
+    buckets_b1 = {
+        d.name: sorted(os.listdir(root / d.name))
+        for d in root.iterdir()
+        if d.name.startswith("state_bucket=")
+    }
+    rewritten = {
+        k for k, v in buckets_b1.items() if "batch_id=1" in v
+    }
+    untouched_survivors = {
+        k for k, v in buckets_b1.items()
+        if k in buckets_b0 and "batch_id=1" not in v
+    }
+    assert rewritten, "batch 1 merges must version some buckets"
+    assert untouched_survivors, (
+        "a disjoint batch must leave some batch-0 buckets unversioned "
+        f"(rewritten={len(rewritten)}, total={len(buckets_b1)})"
+    )
+
+    # batch 2 replays batch 1's pages under a NEW batch id: every edge is
+    # already known → contraction empties the remap → zero snapshot I/O
+    inc.process_batch(h2, 2)
+    buckets_b2 = {
+        d.name: sorted(os.listdir(root / d.name))
+        for d in root.iterdir()
+        if d.name.startswith("state_bucket=")
+    }
+    assert buckets_b2 == buckets_b1, "known-edge batch must write nothing"
