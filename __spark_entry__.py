@@ -480,6 +480,25 @@ def q_ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF through the PERSISTED-INDEX path (operators/ann.py IvfIndex):
+    build_ivf_index trains + assigns once, then .search() probes at
+    query-time n_probe with NO retraining — the production shape (the
+    reference's analog: kmer_search reads a precomputed centers file,
+    kmer_search.cpp:215-227, and only ever probes). Same regime and
+    defaults as ivf_cosine_topk_probe, so the result set is identical
+    (pinned by tests/test_ann.py::test_ivf_index_build_once_probe_many);
+    rows-only — approximate results have no SQL oracle."""
+    from hsearch_spark.operators.ann import build_ivf_index
+
+    e = _read(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(e, n_lists=64, seed=42)
+    topk = idx.search(e, k=5, n_probe=8, prune_partitions=False)
+    return topk.select(
+        "a", "b", F.round("cos_sim", 4).alias("cos_sim"), "rnk"
+    )
+
+
 def q_ivf_cosine_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF in its actual operating regime (n_probe << n_lists): each
     query touches n_probe/n_lists of the table. rows-only — approximate
@@ -1004,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m8_export": q_m8_export,
         # rows-only (seeded LSH internals; no SQL equivalent)
         "ivf_cosine_topk_probe": q_ivf_cosine_topk_probe,
+        "ivf_index_probe": q_ivf_index_probe,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "minhash_clusters": q_minhash_clusters,

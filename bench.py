@@ -136,6 +136,23 @@ def main() -> None:
             best = min(best, time.monotonic() - t0)
         queries[name] = round(best, 3)
 
+    # persisted-index amortization evidence: build the IVF index ONCE
+    # outside the timer, then time only .search() — the production probe
+    # path (ivf_cosine_topk_probe above retrains per call by contract;
+    # the delta between the two keys is the amortized training cost)
+    from hsearch_spark.operators.ann import build_ivf_index
+
+    emb = entrymod._read(spark, SF_DIR, "embeddings")
+    idx = build_ivf_index(emb, n_lists=64, seed=42)
+    best = float("inf")
+    for _ in range(QUERY_REPS):
+        t0 = time.monotonic()
+        idx.search(emb, k=5, n_probe=8, prune_partitions=False).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best = min(best, time.monotonic() - t0)
+    queries["ivf_index_probe"] = round(best, 3)
+
     total = round(sum(queries.values()), 3)
     # window-quality evidence: the sandbox is a shared-tenant VM whose
     # hypervisor steal has measured 9.7%-14.5% of CPU under load across

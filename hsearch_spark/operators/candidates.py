@@ -15,9 +15,9 @@ make skew a first-class plan decision:
   O(n*R) pairs instead of O(n^2) — a 10^5-doc boilerplate bucket goes
   from 5e9 pairs to 8e5. Drops are *logged, not silent* (bucket_metrics).
 
-At 100 TB the band self-join is THE shuffle: keys are (band_id,
-band_hash) — uniformly-mixed 64-bit hashes, so the shuffle itself is
-balanced; only the within-bucket pair blowup needs the cap above.
+At 100 TB the band self-join is THE shuffle: the key is band_hash — a
+band-index-salted, uniformly-mixed 64-bit hash, so the shuffle itself
+is balanced; only the within-bucket pair blowup needs the cap above.
 AQE skew-join handles residual stragglers.
 """
 
@@ -33,8 +33,10 @@ from hsearch_spark.config import DedupConfig
 
 def bucket_metrics(bands: DataFrame) -> DataFrame:
     """Bucket-size histogram — the skew diagnostic the reference computes
-    under `#ifdef BUCKETSIZE` (pcluster.cpp:38-66), as a metrics table."""
-    sizes = bands.groupBy("band_id", "band_hash").agg(
+    under `#ifdef BUCKETSIZE` (pcluster.cpp:38-66), as a metrics table.
+    Bucket identity is band_hash alone: the hash is already salted by
+    band index (explode_bands), so it IS the (band, value) key."""
+    sizes = bands.groupBy("band_hash").agg(
         F.count("*").alias("bucket_size")
     )
     return sizes.groupBy("bucket_size").agg(
@@ -163,15 +165,28 @@ def bucket_pairs_grouped(
 def candidate_pairs(
     bands: DataFrame, config: DedupConfig, input_rows: int | None = None
 ) -> DataFrame:
-    """bands(doc_id, band_id, band_hash) -> pairs(a, b), a < b, distinct.
+    """bands(doc_id, band_hash, ...) -> pairs(a, b), a < b, distinct.
 
     Pair dedup across bands (ref: test-once labels,
     motif_both_points.cpp:222-243) = dropDuplicates BEFORE the expensive
     verify stage — dedup-then-verify, not verify-then-dedup.
     `input_rows` (= config.bands × #docs, when the caller knows #docs)
-    lets the broadcast guard prove safety without a runtime count."""
+    lets the broadcast guard prove safety without a runtime count.
+
+    The shuffle key is band_hash ALONE: explode_bands salts each band's
+    hash with its band index, so band_hash already encodes (band, value)
+    and shipping a separate band_id column through the pipeline's
+    largest exchange would be pure overhead (UnsafeRow 32 → 24 bytes,
+    −25% on this shuffle). A cross-band 64-bit collision (≈ (b·n)²/2⁶⁵
+    expected — ~10⁷ at 10¹² docs, zero at sandbox scale) merely co-
+    buckets unrelated docs, adding candidate pairs the exact-verify gate
+    re-checks anyway — never a correctness risk. The explicit select
+    prunes any extra band columns BEFORE the exchange."""
     return bucket_pairs_grouped(
-        bands, ["band_id", "band_hash"], config, input_rows=input_rows
+        bands.select("doc_id", "band_hash"),
+        ["band_hash"],
+        config,
+        input_rows=input_rows,
     )
 
 
@@ -183,13 +198,13 @@ def dropped_pairs_metrics(
     """Per-bucket count of pairs NOT emitted by the star-R policy —
     the no-silent-truncation ledger (SURVEY.md §4 'no silent
     truncation'). Works for any keyed channel: MinHash bands
-    (default key ["band_id", "band_hash"]), SimHash combos
+    (default key ["band_hash"], band-salted), SimHash combos
     (["combo_key"]), etc."""
     if isinstance(key_cols, DedupConfig):  # legacy (bands, config) call
         key_cols, config = None, key_cols
     if config is None:
         raise TypeError("config is required")
-    key_cols = key_cols or ["band_id", "band_hash"]
+    key_cols = key_cols or ["band_hash"]
     sizes = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
     n, r = F.col("n"), F.lit(config.star_representatives)
     all_pairs = n * (n - 1) / 2

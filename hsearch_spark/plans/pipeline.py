@@ -212,10 +212,7 @@ def run_dedup(
                 explode_bands(sigs, config), config
             ).select(
                 F.lit("minhash_bands").alias("channel"),
-                F.concat_ws(
-                    ":", F.col("band_id").cast("string"),
-                    F.col("band_hash").cast("string"),
-                ).alias("bucket_key"),
+                F.col("band_hash").cast("string").alias("bucket_key"),
                 F.col("n").alias("bucket_size"),
                 "dropped_pairs",
             )

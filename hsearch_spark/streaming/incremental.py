@@ -13,8 +13,9 @@ DataFrame ops + idempotent sink writes):
    so far (parquet in-sandbox, Iceberg in production; appends only),
    PLUS a bounded `clusters` snapshot (non-singleton assignments only).
    State tables are HASH-BUCKET PARTITIONED (hive layout
-   `batch_id=N/state_bucket=K/`): bands by pmod(xxhash64(band_id,
-   band_hash), B), sigs/docs by pmod(xxhash64(doc_id), B). A micro-batch
+   `batch_id=N/state_bucket=K/`): bands by pmod(xxhash64(band_hash),
+   B) (the hash is band-index-salted, so it alone is the full band
+   key), sigs/docs by pmod(xxhash64(doc_id), B). A micro-batch
    first computes WHICH buckets it touches (≤ B driver-side values) and
    reads only those partitions — at a crawl's steady state (small batch
    vs huge corpus) the probe join scans a fraction of the state instead
@@ -94,8 +95,10 @@ class IncrementalDedup:
         return os.path.join(self.state_dir, name)
 
     def _band_bucket(self):
+        # band_hash is band-index-salted (explode_bands) — it IS the full
+        # (band, value) key, so it alone drives state bucketing
         return F.pmod(
-            F.xxhash64("band_id", "band_hash"), F.lit(self.n_state_buckets)
+            F.xxhash64("band_hash"), F.lit(self.n_state_buckets)
         ).cast("int")
 
     def _doc_bucket(self, col: str = "doc_id"):
@@ -356,7 +359,11 @@ class IncrementalDedup:
         cfg = self.config
         docs = extract_pages(new_pages)
         sigs = add_signature_columns(docs, cfg).localCheckpoint()
-        bands = explode_bands(sigs, cfg).localCheckpoint()
+        bands = (
+            explode_bands(sigs, cfg)
+            .select("doc_id", "band_hash")  # band-salted hash IS the key
+            .localCheckpoint()
+        )
 
         # within-batch candidates (new × new)
         cands = candidate_pairs(bands, cfg)
@@ -379,7 +386,6 @@ class IncrementalDedup:
                 .join(
                     old_bands.alias("o"),
                     on=[
-                        F.col("n.band_id") == F.col("o.band_id"),
                         F.col("n.band_hash") == F.col("o.band_hash"),
                         F.col("n.doc_id") != F.col("o.doc_id"),
                     ],

@@ -95,7 +95,7 @@ def test_candidate_pairs_shuffle_budget(spark):
     pairs = candidate_pairs(bands, DedupConfig())
     assert n_exchanges(pairs) == 2
     p = plan_str(pairs)
-    assert "hashpartitioning(band_id" in p
+    assert "hashpartitioning(band_hash" in p
     assert "WindowGroupLimit" in p
     assert "InMemoryRelation" in p or "InMemoryTableScan" in p
     assert "BroadcastHashJoin" in p
