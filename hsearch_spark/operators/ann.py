@@ -458,6 +458,36 @@ class IvfIndex:
             path + "/inv"
         )
 
+    def add(
+        self,
+        new_embeddings: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        """Incremental index growth: assign the new vectors to the FIXED
+        trained centroids (one GEMM pass over only the new rows — no
+        retraining, no touch of the existing inverted file) and return
+        an index over the union. This is the streaming-ingest companion:
+        a crawl's new embeddings append to the corpus index the same way
+        new pages append to the dedup state. Centroids drift from
+        optimal as the distribution shifts — full-probe searches stay
+        exact regardless (probe-mode recall is the thing that degrades;
+        rebuild on whatever cadence recall monitoring demands). On a
+        persisted index the same append is `new_inv.write.mode("append")
+        .partitionBy("list_id")` / an Iceberg append — nothing existing
+        rewrites."""
+        unit = _unit_vectors(new_embeddings, id_col, vec_col)
+        new_inv = unit.select(
+            F.col("id").alias("b"),
+            F.col("v").alias("vb"),
+            F.element_at(_probe_udf(self.centroids, 1)("v"), 1).alias(
+                "list_id"
+            ),
+        )
+        return IvfIndex(
+            self.centroids, self.inv.unionByName(new_inv), dict(self.meta)
+        )
+
     def search(
         self,
         queries: DataFrame,

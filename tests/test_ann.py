@@ -222,3 +222,30 @@ def test_ivf_full_probe_skewed_quantizer_still_splits(spark):
     exact = _topk_sets(cosine_topk_bruteforce(e, k=5), 5)
     ivf = _topk_sets(ivf_topk(e, k=5, n_lists=8, n_probe=8), 5)
     assert ivf == exact
+
+
+def test_ivf_index_incremental_add_exact_at_full_probe(spark):
+    """idx.add() assigns new vectors to the FIXED centroids without
+    retraining; at full probe the grown index must return exactly the
+    brute-force top-k over the UNION corpus (exactness is independent
+    of centroid quality), and the original index object stays usable."""
+    from hsearch_spark.operators.ann import build_ivf_index
+
+    base = _blobs(spark, n=150, seed=3)
+    extra = _blobs(spark, n=60, seed=8)
+    extra = extra.selectExpr("vec_id + 5000 as vec_id", "embedding")
+    idx = build_ivf_index(base, n_lists=8, seed=42)
+    grown = idx.add(extra)
+
+    union = base.union(extra)
+    exact = _topk_sets(cosine_topk_bruteforce(union, k=4), 4)
+    got = _topk_sets(
+        grown.search(union, k=4, n_probe=grown.n_lists,
+                     prune_partitions=False),
+        4,
+    )
+    assert got == exact
+    # original index unaffected: still answers over the base corpus only
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    res = idx.search(base, k=3, n_probe=idx.n_lists, prune_partitions=False)
+    assert {r["b"] for r in res.collect()} <= base_ids
