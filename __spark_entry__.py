@@ -80,6 +80,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def exact_dup_pairs_df(docs: DataFrame) -> DataFrame:
+    # md5 here (and in q_exact_dup_groups below) is the DUCKDB-PARITY
+    # oracle key — DuckDB has md5() but not xxhash64. Production code
+    # uses functions/text.py:fingerprint_col (xxhash64 → 64-bit long
+    # shuffle key). Two fingerprints by design; don't unify.
     keyed = docs.select(
         "doc_id", F.md5(F.col("text").cast("binary")).alias("fp")
     )

@@ -192,5 +192,12 @@ def lang_id_frame(
 
 
 def fingerprint_col(text: Column) -> Column:
-    """64-bit document fingerprint of canonical text (exact-dup key)."""
+    """64-bit document fingerprint of canonical text (exact-dup key).
+
+    PRODUCTION fingerprint: xxhash64 — a cheap 64-bit shuffle key that
+    joins/aggregates as a long. The contract queries in
+    __spark_entry__.py deliberately use md5 INSTEAD, because the DuckDB
+    oracle has md5() but no xxhash64 — two fingerprints by design; do
+    not unify them in either direction.
+    """
     return F.xxhash64(text)

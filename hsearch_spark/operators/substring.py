@@ -189,6 +189,7 @@ def anchor_span_edges(
     config: DedupConfig | None = None,
     max_positions: int = 4,
     max_seeds: int = 24,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """V2 — seed match + UNGAPPED EXTENSION, closing the reference's
     two-phase span verify: hash_search seeds a hit, then extends the
@@ -234,11 +235,19 @@ def anchor_span_edges(
     config.min_span; offsets are BYTE offsets into the UTF-8 text
     (exact-match extension is byte-exact, so byte space is the correct
     comparison space regardless of encoding).
+
+    `sigs`: optional precomputed add_signature_columns(docs, config)
+    frame — pass it when calling alongside the pipeline so the corpus
+    is signatured once, not twice.
     """
     config = config or DedupConfig()
-    from hsearch_spark.functions.signatures import add_signature_columns
+    if sigs is None:
+        # standalone call: signature the corpus here. Pipeline callers
+        # pass their already-checkpointed `sigs` stage so the corpus is
+        # not rolling-hashed a second time (one Arrow scan per run).
+        from hsearch_spark.functions.signatures import add_signature_columns
 
-    sigs = add_signature_columns(docs, config)
+        sigs = add_signature_columns(docs, config)
     pairs = substring_edges(sigs, config).select("a", "b")
     pair_docs = (
         pairs.select(F.col("a").alias("doc_id"))

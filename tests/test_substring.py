@@ -178,3 +178,60 @@ def test_anchor_span_extension_survives_pre_span_repeat(spark):
     assert r["span_len"] == len(span)
     assert r["a_start"] == len(head_a)
     assert r["b_start"] == len(head_b)
+
+
+def test_anchor_span_edges_accepts_precomputed_sigs(spark, monkeypatch):
+    """Passing `sigs=` must skip the internal add_signature_columns call
+    (pipeline context: the corpus is signatured exactly once) and yield
+    the same spans as the standalone path."""
+    from hsearch_spark.functions import signatures as sig_mod
+    from hsearch_spark.operators.substring import anchor_span_edges
+
+    span = (
+        "this long shared span of copied text appears inside both "
+        "documents verbatim " * 4
+    )
+    texts = [
+        "unique preamble alpha beta gamma " * 6 + "Q" + span + "tail one",
+        "different opening content entirely xx " * 6 + "Z" + span + "end",
+    ]
+    docs = _docs_df(spark, texts)
+    expected = sorted(
+        map(tuple, anchor_span_edges(docs, CFG).collect())
+    )
+
+    sigs = add_signature_columns(docs, CFG)
+
+    def _boom(*a, **k):  # any re-signature is a double corpus scan
+        raise AssertionError("anchor_span_edges re-signatured the corpus")
+
+    monkeypatch.setattr(sig_mod, "add_signature_columns", _boom)
+    got = sorted(
+        map(tuple, anchor_span_edges(docs, CFG, sigs=sigs).collect())
+    )
+    assert got == expected
+
+
+def test_anchor_catch_floor_at_min_span():
+    """Measured span-catch probability at L = min_span stays >= 0.98
+    (design 0.9964 under X ~ Bin(L-gram+1, 1/mod) >= min_common; curve
+    measured in BENCH.md via tools/measure_anchor_catch.py). Pinned so a
+    config or kernel change that silently degrades the substring
+    channel's catch rate fails here, not in production."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "measure_anchor_catch.py",
+    )
+    spec = importlib.util.spec_from_file_location("measure_anchor_catch", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cfg = DedupConfig()
+    rates = mod.measure(pairs_per_len=200, seed=7)
+    assert rates[cfg.min_span] >= 0.98
+    # and the design formula itself agrees with the claim
+    assert mod.design_catch(cfg.min_span, cfg) >= 0.99
