@@ -39,6 +39,80 @@ def _fresh(df: DataFrame) -> DataFrame:
     return df.select(F.col("u").alias("u"), F.col("v").alias("v"))
 
 
+def _contract_local(
+    edges: DataFrame, n_buckets: int | None = None, salt: int = 16
+) -> DataFrame:
+    """ONE-pass per-bucket union-find pre-contraction.
+
+    Replaces each hash bucket's edge set with its union-find spanning
+    forest (node -> local-component-min). Connectivity is preserved
+    exactly (a forest spans every local component; node ids are
+    untouched), so feeding the contracted table to the star loop yields
+    the same final labels — but the star loop now starts from an
+    almost-converged graph: the candidate channels emit STAR pairs
+    (a = bucket/group min ↔ member, candidates.bucket_pairs_grouped and
+    exact_duplicate_pairs), so bucketing by the star center `u`
+    co-locates nearly every edge of a component, and one numpy
+    min-label pass collapses it to a single star. Measured effect:
+    2-4 star iterations (each ~6 exchanges + a job barrier) become
+    1 confirming iteration — the CC loop was the pipeline's largest
+    non-scaling serial fraction at N→4N (BENCH.md round-4 stage
+    decomposition).
+
+    Skew safety: the group key is (xxhash64(u) % B, xxhash64(v) % salt)
+    — the salt splits a giant star's edges across `salt` groups, and
+    because every one of those groups still contains the center u (it
+    is on every edge), each contracts to exactly the same (member → u)
+    rows as the unsalted group; only non-star chains lose a little
+    contraction (the star loop finishes those). Per-group rows are
+    bounded by deg(u)/salt: at a 10^9-member exact-dup family and
+    salt=16 that is ~60M 16-byte rows per task — raise `salt` (or set
+    pre_contract=False; the star loop is pure-aggregation skew-safe)
+    for corpora with larger identical-content families.
+
+    The kernel is vectorized min-label propagation + pointer jumping
+    (no per-edge Python loop), order-independent and therefore
+    deterministic under any partitioning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_buckets is None:
+        n_buckets = max(
+            edges.sparkSession.sparkContext.defaultParallelism * 2, 64
+        )
+
+    def uf(pdf: pd.DataFrame) -> pd.DataFrame:
+        u = pdf["u"].to_numpy(dtype=np.int64)
+        v = pdf["v"].to_numpy(dtype=np.int64)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u):]
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            before = lab.copy()
+            m = np.minimum(lab[ui], lab[vi])
+            np.minimum.at(lab, ui, m)
+            np.minimum.at(lab, vi, m)
+            lab = np.minimum(lab, lab[lab])  # pointer jump
+            lab = np.minimum(lab, lab[lab])
+            if np.array_equal(lab, before):
+                break
+        root = nodes[lab]
+        keep = root != nodes
+        return pd.DataFrame({"u": nodes[keep], "v": root[keep]})
+
+    keyed = edges.select(
+        "u",
+        "v",
+        F.pmod(F.xxhash64("u"), F.lit(n_buckets)).alias("_cb"),
+        F.pmod(F.xxhash64("v"), F.lit(salt)).alias("_cs"),
+    )
+    return (
+        keyed.groupBy("_cb", "_cs")
+        .applyInPandas(lambda pdf: uf(pdf[["u", "v"]]), "u long, v long")
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """Connect every larger neighbor of u to min(Γ⁺(u))."""
     nbrs = _fresh(edges).union(
@@ -74,12 +148,18 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, store=None
+    edges: DataFrame, max_iter: int = 25, store=None, pre_contract: bool = True
 ) -> DataFrame:
     """edges(a, b) -> assignments(doc_id, cluster_id), cluster_id = component min.
 
     Only nodes that appear in edges are returned; the pipeline left-joins
     back to the full doc set (singletons keep their own id).
+
+    pre_contract: run one per-bucket union-find pass (_contract_local)
+    before the star loop — same final labels (connectivity-preserving
+    spanning forest), far fewer star rounds on the star-shaped edge
+    tables the channels emit. Disable for adversarially skewed inputs
+    where even salted contraction groups would be too large.
 
     `store` (a sources.io.StageStore) makes every iteration durable and
     resume-aware: iteration i persists as stage "cc/iter_{i:03d}"; a
@@ -120,12 +200,19 @@ def connected_components(
         ).collect()[0]
         return out, int(row["n"]), int(row["h"])
 
-    e, n, h = _persist(
-        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct(),
-        "cc/iter_000",
+    base = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).where(
+        F.col("u") != F.col("v")
     )
+    if pre_contract:
+        # one union-find pass per hash bucket before the first star
+        # round: the channels emit star pairs, so this collapses most
+        # components immediately and the loop below usually just
+        # confirms convergence (see _contract_local). The forest
+        # replaces the plain distinct() — it is already duplicate-free
+        # per bucket, and cross-bucket duplicates are removed by the
+        # distinct() here exactly as raw edges were.
+        base = _contract_local(base)
+    e, n, h = _persist(base.distinct(), "cc/iter_000")
     if n == 0:
         spark = edges.sparkSession
         return spark.createDataFrame([], "doc_id long, cluster_id long")

@@ -89,3 +89,45 @@ def test_assign_clusters_singletons(spark):
         for r in assign_clusters(docs, connected_components(edges)).collect()
     }
     assert got == {0: 0, 1: 0, 2: 2, 3: 3, 4: 4, 5: 5}
+
+
+def test_cc_pre_contract_equals_plain_star_loop(spark):
+    """pre_contract is a pure physical optimization: identical labels to
+    the plain star loop on random graphs, chains, and star unions."""
+    rng = random.Random(7)
+    nodes = list(range(300))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(220)]
+    edges = [(a, b) for a, b in edges if a != b]
+    # add a long path (worst case for contraction: chain spans buckets)
+    edges += [(1000 + i, 1001 + i) for i in range(35)]
+    # and overlapping stars (the shape the channels actually emit)
+    edges += [(2000, 2000 + i) for i in range(1, 20)]
+    edges += [(2010, 2010 + i) for i in range(1, 20)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    plain = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, pre_contract=False).collect()
+    }
+    contracted = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, pre_contract=True).collect()
+    }
+    assert contracted == plain
+    oracle = _uf_oracle(edges, {x for e in edges for x in e})
+    assert contracted == oracle
+
+
+def test_contract_local_preserves_components_and_shrinks(spark):
+    """The contraction forest keeps exact connectivity and never grows
+    the table; on star-shaped input it collapses to one star."""
+    from pyspark.sql import functions as F
+
+    from hsearch_spark.operators.components import _contract_local
+
+    star = [(5, 5 + i) for i in range(1, 30)]
+    df = spark.createDataFrame(star, "a long, b long").select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    )
+    got = {(r["u"], r["v"]) for r in _contract_local(df).collect()}
+    # every member points at the center, nothing else
+    assert got == {(5 + i, 5) for i in range(1, 30)}
