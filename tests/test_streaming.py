@@ -156,6 +156,15 @@ def test_compact_state_preserves_results(spark, tmp_path):
         if d.name.startswith("batch_id=")
     }
     assert dirs == {"batch_id=-1"}
+    # clusters snapshot history is bounded too: every bucket keeps only
+    # its folded batch_id=-1 version, superseded per-batch versions gone
+    clusters_root = tmp_path / "state" / "clusters"
+    for bucket in clusters_root.iterdir():
+        if not bucket.name.startswith("state_bucket="):
+            continue
+        versions = {d.name for d in bucket.iterdir()
+                    if d.name.startswith("batch_id=")}
+        assert versions == {"batch_id=-1"}, (bucket.name, versions)
     after = sorted(
         (r["doc_id"], r["cluster_id"]) for r in inc.current_clusters().collect()
     )
