@@ -20,10 +20,12 @@ span of length L contains L - gram + 1 windows → expected
 
 Physical plan: anchors were already computed in the signature pass
 (hsearch_spark.functions.signatures — ONE text scan for MinHash +
-SimHash + anchors); here it's posexplode → groupBy(anchor) →
-within-bucket pairing → groupBy(pair) count — two balanced shuffles on
-64-bit keys, no sort, no Python. The reference's run-length counting
-over the sorted suffix array (A4) is exactly the groupBy(anchor) here.
+SimHash + anchors); here it's explode → repartition(anchor) → one
+vectorized Arrow run-detection kernel → groupBy(pair) count — two
+balanced shuffles on 64-bit keys. The reference's run-length counting
+over the sorted suffix array (A4) is exactly the kernel's equal-anchor
+run detection (see substring_edges for why the kernel beats the
+per-group declarative formulations by ~10× CPU).
 """
 
 from __future__ import annotations
@@ -50,45 +52,77 @@ def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     bucket is bounded by df_max, so the within-bucket self-join is
     bounded at C(df_max, 2) pairs. (The reference's analog is its hard
     hit cap, pcluster.cpp:115-116 — ours is semantic, not positional.)
-    The star-R cap below remains as a backstop for df ≤ df_max buckets.
+
+    Physical plan: TWO exchanges (hash-repartition on anchor; pair-count
+    groupBy) around ONE vectorized Arrow kernel. Per anchor-partitioned
+    task the kernel lexsorts (anchor, doc_id), finds equal-anchor runs,
+    drops runs outside [2, df_max], and emits each surviving run's
+    all-pairs — ~100 ns/row of numpy instead of per-group JVM operator
+    machinery. The obvious declarative formulations pay ~25 µs per
+    anchor GROUP (WindowExec/ObjectHashAggregate state, ArrayBuffer +
+    array_sort + higher-order pair explode per group) and the anchor key
+    space is almost all singleton groups, so at 400k docs / 34.5M anchor
+    rows they burn 852 executor-CPU-s where this kernel burns 85
+    (event-log task metrics, 2026-08-18; output bit-identical, same
+    row count and xxhash). At 10^12 docs that order of magnitude is the
+    difference between a viable stage and the pipeline's bottleneck.
+
+    Scale/skew notes:
+    - the kernel accumulates its whole shuffle partition (16 B/row in
+      numpy) before sorting — size spark.sql.shuffle.partitions so
+      partitions fit executor memory, exactly like every sort;
+    - a boilerplate anchor's run lands in one partition but is COUNTED
+      and dropped vectorized (never expanded into pairs), so hot
+      template anchors cost their row count, not C(df, 2);
+    - per-run pair expansion is bounded by C(df_max, 2) and runs are
+      detected after an order-independent sort → deterministic under
+      any partitioning / Arrow batch split.
     """
+    df_max = config.anchor_df_max
     anchors = sigs.select("doc_id", F.explode("anchors").alias("anchor"))
-    # document-frequency gate BEFORE building arrays: a boilerplate anchor
-    # shared by 10^4+ pages would otherwise collect_list a multi-MB array
-    # per anchor — humongous allocations that stall the whole JVM behind
-    # the GCLocker at high task concurrency (observed: 32-core runs slower
-    # than 8-core). The rank-limit filter compiles to WindowGroupLimit
-    # (bounded per-anchor state BEFORE the shuffle, partial top-K per
-    # task — a boilerplate anchor is never fully sorted anywhere), the
-    # groupBy reuses the window's partitioning (no extra exchange), and
-    # arrays are bounded by df_max + 1. An anchor arriving truncated
-    # (size == df_max + 1) has df > anchor_df_max → boilerplate, dropped;
-    # size >= 2 keeps only genuinely shared anchors.
-    w = Window.partitionBy("anchor").orderBy("doc_id")
-    kept = anchors.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= config.anchor_df_max + 1
-    )
-    grouped = kept.groupBy("anchor").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
-    )
-    n = F.size("ids")
-    grouped = grouped.where((n >= 2) & (n <= config.anchor_df_max))
-    pair_structs = F.flatten(
-        F.transform(
-            F.slice("ids", 1, n - 1),
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+    keyed = anchors.repartition("anchor")
+
+    def runs_pairs(
+        batches: Iterator[pa.RecordBatch],
+    ) -> Iterator[pa.RecordBatch]:
+        an_l, ids_l = [], []
+        for batch in batches:
+            an_l.append(batch.column("anchor").to_numpy(zero_copy_only=False))
+            ids_l.append(batch.column("doc_id").to_numpy(zero_copy_only=False))
+        out_a, out_b = [], []
+        if an_l:
+            an = np.concatenate(an_l)
+            ids = np.concatenate(ids_l)
+            if an.size:
+                order = np.lexsort((ids, an))
+                an, ids = an[order], ids[order]
+                new = np.empty(an.size, dtype=bool)
+                new[0] = True
+                new[1:] = an[1:] != an[:-1]
+                starts = np.flatnonzero(new)
+                lens = np.diff(np.append(starts, an.size))
+                # all-pairs per surviving run, grouped by run length so
+                # each length is ONE broadcasted triu-index gather
+                for length in range(2, df_max + 1):
+                    sel = starts[lens == length]
+                    if sel.size == 0:
+                        continue
+                    ii, jj = np.triu_indices(length, 1)
+                    out_a.append(ids[(sel[:, None] + ii[None, :]).ravel()])
+                    out_b.append(ids[(sel[:, None] + jj[None, :]).ravel()])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        # explicit Arrow types so empty partitions keep the declared schema
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64())],
+            names=["a", "b"],
         )
-    )
-    pair_counts = (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.a", "p.b")
+
+    pairs = keyed.mapInArrow(runs_pairs, "a long, b long")
+    return (
+        pairs.groupBy("a", "b")
         .agg(F.count("*").alias("n_common_anchors"))
-    )
-    return pair_counts.where(
-        F.col("n_common_anchors") >= config.anchor_min_common
+        .where(F.col("n_common_anchors") >= config.anchor_min_common)
     )
 
 

@@ -102,10 +102,11 @@ def test_candidate_pairs_shuffle_budget(spark):
 
 
 def test_substring_edges_shuffle_budget(spark):
-    """anchor rank-limit window + pair groupBy = exactly two Exchanges;
-    the df gate must compile to WindowGroupLimit so a boilerplate anchor
-    is bounded per task BEFORE the shuffle (its partial top-K adds a
-    map-side Sort node — two Sorts total, zero extra exchanges)."""
+    """anchor repartition + pair groupBy = exactly two Exchanges; the
+    run detection must be the Arrow kernel (MapInArrow / ArrowEvalPython
+    in the plan), with ZERO JVM Sort nodes — the sort lives in the numpy
+    kernel, not in a per-group WindowExec (measured 10× CPU difference,
+    see substring_edges docstring)."""
     import re
 
     sigs = spark.createDataFrame(
@@ -115,8 +116,8 @@ def test_substring_edges_shuffle_budget(spark):
     edges = substring_edges(sigs, DedupConfig())
     p = plan_str(edges)
     assert n_exchanges(edges) == 2
-    assert "WindowGroupLimit" in p
-    assert len(re.findall(r"^\(\d+\) Sort", p, re.M)) <= 2
+    assert "MapInArrow" in p or "ArrowEvalPython" in p
+    assert len(re.findall(r"^\(\d+\) Sort", p, re.M)) == 0
 
 
 def test_small_dim_join_broadcasts(spark):

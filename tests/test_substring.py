@@ -235,3 +235,46 @@ def test_anchor_catch_floor_at_min_span():
     assert rates[cfg.min_span] >= 0.98
     # and the design formula itself agrees with the claim
     assert mod.design_catch(cfg.min_span, cfg) >= 0.99
+
+
+def test_substring_edges_matches_bruteforce_oracle(spark):
+    """Arrow run-detection kernel vs a plain-python pair-count oracle
+    over the same per-doc anchor sets (including df-gate and min_common
+    semantics), on texts with shared spans, boilerplate, and noise."""
+    from collections import Counter
+
+    from hsearch_spark.functions.hashing import anchor_hashes
+
+    cfg = DedupConfig(anchor_df_max=4, anchor_min_common=2)
+    span = "a verbatim copied stretch of content that is long enough to carry anchors " * 3
+    boiler = "boilerplate navigation repeated on every single page of this site " * 3
+    texts = [
+        boiler + span + "unique tail zero " * 10,
+        boiler + "unique filler one " * 10 + span,
+        boiler + "completely unrelated body two " * 14,
+        boiler + "another unrelated body three " * 14,
+        boiler + "yet another unrelated body four " * 14,
+        span + "no boilerplate on this one " * 10,
+    ]
+    per_doc = {
+        i: set(anchor_hashes(t, cfg.anchor_gram, cfg.anchor_mod).tolist())
+        for i, t in enumerate(texts)
+    }
+    df = Counter(a for s in per_doc.values() for a in s)
+    counts = Counter()
+    for a in {x for s in per_doc.values() for x in s}:
+        if not (2 <= df[a] <= cfg.anchor_df_max):
+            continue
+        docs_with = sorted(i for i, s in per_doc.items() if a in s)
+        for x in range(len(docs_with)):
+            for y in range(x + 1, len(docs_with)):
+                counts[(docs_with[x], docs_with[y])] += 1
+    oracle = {
+        p: n for p, n in counts.items() if n >= cfg.anchor_min_common
+    }
+    got = {
+        (r["a"], r["b"]): r["n_common_anchors"]
+        for r in substring_edges(_sigs(spark, texts), cfg).collect()
+    }
+    assert got == oracle
+    assert got, "fixture must produce at least one surviving pair"
