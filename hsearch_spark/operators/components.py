@@ -39,6 +39,30 @@ def _fresh(df: DataFrame) -> DataFrame:
     return df.select(F.col("u").alias("u"), F.col("v").alias("v"))
 
 
+def _uf_min_labels(u, v):
+    """Vectorized min-label union-find: edge arrays -> (nodes, root),
+    root[i] = min(doc_id) of node i's component. Iterated min-label
+    propagation + pointer jumping — order-independent, so the result is
+    deterministic under any edge ordering/partitioning. Shared by the
+    per-bucket pre-contraction (_contract_local) and the driver tier of
+    connected_components."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        m = np.minimum(lab[ui], lab[vi])
+        np.minimum.at(lab, ui, m)
+        np.minimum.at(lab, vi, m)
+        lab = np.minimum(lab, lab[lab])  # pointer jump
+        lab = np.minimum(lab, lab[lab])
+        if np.array_equal(lab, before):
+            break
+    return nodes, nodes[lab]
+
+
 def _contract_local(
     edges: DataFrame, n_buckets: int | None = None, salt: int = 16
 ) -> DataFrame:
@@ -83,21 +107,10 @@ def _contract_local(
         )
 
     def uf(pdf: pd.DataFrame) -> pd.DataFrame:
-        u = pdf["u"].to_numpy(dtype=np.int64)
-        v = pdf["v"].to_numpy(dtype=np.int64)
-        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
-        ui, vi = inv[: len(u)], inv[len(u):]
-        lab = np.arange(len(nodes), dtype=np.int64)
-        while True:
-            before = lab.copy()
-            m = np.minimum(lab[ui], lab[vi])
-            np.minimum.at(lab, ui, m)
-            np.minimum.at(lab, vi, m)
-            lab = np.minimum(lab, lab[lab])  # pointer jump
-            lab = np.minimum(lab, lab[lab])
-            if np.array_equal(lab, before):
-                break
-        root = nodes[lab]
+        nodes, root = _uf_min_labels(
+            pdf["u"].to_numpy(dtype=np.int64),
+            pdf["v"].to_numpy(dtype=np.int64),
+        )
         keep = root != nodes
         return pd.DataFrame({"u": nodes[keep], "v": root[keep]})
 
@@ -147,8 +160,15 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+_DRIVER_CC_MAX_EDGES = 4_000_000  # ~64 MB of (u, v) int64 pairs
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, store=None, pre_contract: bool = True
+    edges: DataFrame,
+    max_iter: int = 25,
+    store=None,
+    pre_contract: bool = True,
+    driver_max_edges: int = _DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """edges(a, b) -> assignments(doc_id, cluster_id), cluster_id = component min.
 
@@ -160,6 +180,24 @@ def connected_components(
     spanning forest), far fewer star rounds on the star-shaped edge
     tables the channels emit. Disable for adversarially skewed inputs
     where even salted contraction groups would be too large.
+
+    driver_max_edges: when store=None and the (pre-contracted,
+    deduplicated) edge table is at most this many rows, the star loop is
+    replaced by ONE collect + the same vectorized min-label union-find
+    the contraction uses — identical labels by construction (both
+    converge to component min), pinned by
+    tests/test_components.py::test_cc_driver_tier_equals_star_loop.
+    Rationale: each star round costs ~6 exchanges plus a full job
+    barrier of serial driver time that no added executor can shrink —
+    the pipeline's clusters stage measured ~6 s at BOTH 2 and 8 cores
+    (BENCH.md round-4 stage decomposition), a pure Amdahl term in the
+    N→4N efficiency. Same driver-small tier pattern as the k-means
+    combine (operators/ann._DRIVER_COMBINE_MAX_ROWS); at the default
+    bound the collect is ≤ ~64 MB. Above the bound — any corpus whose
+    dup graph is genuinely large, e.g. 10^12 docs — the distributed
+    loop runs exactly as before, and store-backed (resumable) runs
+    always take the durable loop: a mid-CC crash must resume from
+    parquet, not from driver memory. Set 0 to force the loop.
 
     `store` (a sources.io.StageStore) makes every iteration durable and
     resume-aware: iteration i persists as stage "cc/iter_{i:03d}"; a
@@ -216,6 +254,24 @@ def connected_components(
     if n == 0:
         spark = edges.sparkSession
         return spark.createDataFrame([], "doc_id long, cluster_id long")
+
+    if store is None and n <= driver_max_edges:
+        # driver tier: iter_000 is already materialized (cached local
+        # blocks), so the collect is a block fetch, and the numpy kernel
+        # replaces every star round's exchanges + job barriers. Output
+        # is sorted by doc_id (np.unique) — deterministic regardless of
+        # collect order.
+        import numpy as np
+        import pandas as pd
+
+        rows = e.collect()
+        u = np.fromiter((r[0] for r in rows), dtype=np.int64, count=len(rows))
+        v = np.fromiter((r[1] for r in rows), dtype=np.int64, count=len(rows))
+        nodes, root = _uf_min_labels(u, v)
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame({"doc_id": nodes, "cluster_id": root}),
+            "doc_id long, cluster_id long",
+        )
 
     prev_e, prev_n, prev_h = e, n, h
     for i in range(max_iter):

@@ -60,11 +60,40 @@ def test_cc_matches_union_find_oracle_random_graph(spark):
 
 
 def test_cc_long_path_converges(spark):
-    # path of length 40 → needs several star rounds
+    # path of length 40 → needs several star rounds; force the
+    # distributed loop (driver_max_edges=0) so this keeps exercising
+    # star-round convergence, not the driver tier
     edges = [(i, i + 1) for i in range(40)]
-    got = _run(spark, edges)
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
     assert set(got.values()) == {0}
     assert len(got) == 41
+
+
+def test_cc_driver_tier_equals_star_loop(spark):
+    """The driver-tier union-find (small edge tables, store=None) must
+    produce the exact star-loop labels — same tier-invisibility contract
+    as the k-means driver combine."""
+    rng = random.Random(11)
+    nodes = list(range(250))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(180)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(900 + i, 901 + i) for i in range(25)]  # chain
+    edges += [(3000, 3000 + i) for i in range(1, 15)]  # star
+    df = spark.createDataFrame(edges, "a long, b long")
+    loop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    tier = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert tier == loop
+    assert tier == _uf_oracle(edges, {x for e in edges for x in e})
 
 
 def test_cc_empty_edges(spark):
