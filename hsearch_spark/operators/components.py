@@ -241,14 +241,18 @@ def connected_components(
     base = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).where(
         F.col("u") != F.col("v")
     )
-    if pre_contract:
+    if pre_contract and store is not None:
         # one union-find pass per hash bucket before the first star
         # round: the channels emit star pairs, so this collapses most
         # components immediately and the loop below usually just
         # confirms convergence (see _contract_local). The forest
         # replaces the plain distinct() — it is already duplicate-free
         # per bucket, and cross-bucket duplicates are removed by the
-        # distinct() here exactly as raw edges were.
+        # distinct() here exactly as raw edges were. store=None defers
+        # this until the driver-tier check below: contraction exists to
+        # cut star rounds, and the driver tier runs none — paying a
+        # Python pass over every edge just to shrink a collect that is
+        # already bounded would be pure overhead in the common case.
         base = _contract_local(base)
     e, n, h = _persist(base.distinct(), "cc/iter_000")
     if n == 0:
@@ -272,6 +276,11 @@ def connected_components(
             pd.DataFrame({"doc_id": nodes, "cluster_id": root}),
             "doc_id long, cluster_id long",
         )
+
+    if store is None and pre_contract:
+        # graph too big for the driver tier — contract now (deferred
+        # from above), reading the already-cached iter_000 blocks
+        e, n, h = _persist(_contract_local(e).distinct(), "cc/iter_000")
 
     prev_e, prev_n, prev_h = e, n, h
     for i in range(max_iter):

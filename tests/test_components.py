@@ -133,13 +133,19 @@ def test_cc_pre_contract_equals_plain_star_loop(spark):
     edges += [(2000, 2000 + i) for i in range(1, 20)]
     edges += [(2010, 2010 + i) for i in range(1, 20)]
     df = spark.createDataFrame(edges, "a long, b long")
+    # driver_max_edges=0 forces the distributed star loop so this keeps
+    # testing contraction + loop, not the driver tier
     plain = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(df, pre_contract=False).collect()
+        for r in connected_components(
+            df, pre_contract=False, driver_max_edges=0
+        ).collect()
     }
     contracted = {
         r["doc_id"]: r["cluster_id"]
-        for r in connected_components(df, pre_contract=True).collect()
+        for r in connected_components(
+            df, pre_contract=True, driver_max_edges=0
+        ).collect()
     }
     assert contracted == plain
     oracle = _uf_oracle(edges, {x for e in edges for x in e})
