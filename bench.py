@@ -103,6 +103,17 @@ def _cpu_ticks() -> list[int] | None:
         return None
 
 
+def _gemm_mode_ms() -> float | None:
+    """Best-of-3 2000×2000 GEMM ms (tools/window_probe.gemm_ms), or None
+    if the tools package isn't importable (zip-only deployments)."""
+    try:
+        from tools.window_probe import gemm_ms
+
+        return round(gemm_ms(reps=3), 1)
+    except ImportError:  # pragma: no cover
+        return None
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
 
@@ -179,6 +190,11 @@ def main() -> None:
                 "cpus": CPUS,
                 "query_reps": QUERY_REPS,
                 "steal_frac_busy": steal_busy,
+                # host-mode yardstick: fast ~59 ms / degraded ~114 ms on
+                # this box (BENCH.md round 4) — the effective CPU speed
+                # flips intraday with ZERO steal signal, and this is the
+                # only in-guest indicator that catches it
+                "gemm_2000_ms": _gemm_mode_ms(),
             }
         )
     )

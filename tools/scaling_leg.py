@@ -54,11 +54,15 @@ def _steal_fraction(before: list[int] | None, after: list[int] | None):
 
 def main() -> None:
     cores, n_docs, out = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    from tools.window_probe import gemm_ms
+
     spark = build_session(app_name=f"scaling_leg_{cores}", cores=cores)
     _time_dedup(spark, 2000)  # warmup (JIT, shuffle dirs)
+    gemm_before = gemm_ms(reps=3)
     t_before = _cpu_ticks()
     elapsed, n, h = _time_dedup(spark, n_docs, seed=43, reps=2)
     t_after = _cpu_ticks()
+    gemm_after = gemm_ms(reps=3)
     spark.stop()
     steal_total, steal_busy = _steal_fraction(t_before, t_after)
     with open(out, "w") as f:
@@ -66,7 +70,10 @@ def main() -> None:
             {"cores": cores, "n_docs": n, "sec": elapsed,
              "docs_per_sec": n / elapsed, "hash": h,
              "steal_frac_total": steal_total,
-             "steal_frac_busy": steal_busy},
+             "steal_frac_busy": steal_busy,
+             # host-mode yardstick (fast ~59 ms / degraded ~114 ms on
+             # this box — BENCH.md round 4); steal alone misses the flip
+             "gemm_2000_ms": [round(gemm_before, 1), round(gemm_after, 1)]},
             f,
         )
     extra = (

@@ -24,6 +24,28 @@ def _ticks() -> list[int]:
         return [int(x) for x in f.readline().split()[1:]]
 
 
+def gemm_ms(reps: int = 5, n: int = 2000) -> float:
+    """Best-of-`reps` wall time of a fixed n×n GEMM, in ms — the
+    host-speed yardstick. Round-4 finding (BENCH.md): the sandbox's
+    effective CPU speed flips between a fast and a ~2× degraded mode
+    intraday with ZERO /proc/stat steal, pinned 2100 MHz cpuinfo, no
+    cgroup pressure, and no GC/disk signal — this is the only in-guest
+    indicator that catches it (59 ms fast mode vs 114 ms degraded,
+    2026-08-18/19). scaling_leg/bench record it per run so every
+    number carries its host-mode weather report."""
+    import numpy as np
+
+    a = np.random.default_rng(1).standard_normal((n, n))
+    b = np.random.default_rng(2).standard_normal((n, n))
+    a @ b  # warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        a @ b
+        best = min(best, time.monotonic() - t0)
+    return best * 1000
+
+
 def _burn(seconds: float) -> None:
     x = 1.0
     t0 = time.time()
@@ -45,19 +67,11 @@ def main() -> None:
     nonidle = sum(d) - d[3]
     steal = d[7] / nonidle if nonidle else float("nan")
 
-    import numpy as np
-
-    a = np.random.default_rng(1).standard_normal((2000, 2000))
-    b = np.random.default_rng(2).standard_normal((2000, 2000))
-    a @ b  # warm
-    best = min(
-        (lambda t: (a @ b, time.monotonic() - t)[1])(time.monotonic())
-        for _ in range(5)
-    )
+    best = gemm_ms()
     verdict = "CLEAN" if steal < 0.03 else ("NOISY" if steal < 0.08 else "BAD")
     print(
         f"steal_frac_busy={steal:.4f} ({verdict} window, gate < 0.03)  "
-        f"gemm_2000_ms={best * 1000:.1f} (BLAS-threaded; compare to "
+        f"gemm_2000_ms={best:.1f} (BLAS-threaded; compare to "
         f"BENCH.md same-machine baseline)"
     )
 
