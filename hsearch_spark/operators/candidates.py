@@ -84,45 +84,132 @@ def bucket_pairs_grouped(
     cap = config.max_bucket_all_pairs
     r = config.star_representatives
     keep_limit = max(cap, r, max_bucket or 0) + 1
-    base = df.select(*key_cols, "doc_id")
-    w = Window.partitionBy(*key_cols).orderBy("doc_id")
+    # canonical single long key: every production channel already keys on
+    # one 64-bit hash column (band_hash / combo_key / bucket); a legacy
+    # multi-column key is folded with xxhash64 — a cross-bucket collision
+    # merely co-buckets two groups, adding candidates the verify gate
+    # re-checks (never losing any), same argument as the band_hash keying
+    key = key_cols[0] if len(key_cols) == 1 else "_bk"
+    if len(key_cols) == 1:
+        base = df.select(key_cols[0], "doc_id")
+    else:
+        base = df.select(
+            F.xxhash64(*key_cols).alias("_bk"), "doc_id"
+        )
+    w = Window.partitionBy(key).orderBy("doc_id")
     kept = base.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") <= keep_limit
     )
-    grouped = kept.groupBy(*key_cols).agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
+
+    # ONE vectorized Arrow pass over the window's output replaces
+    # [groupBy + collect_list arrays + higher-order pair explode +
+    # second scan for the hot branch]: the per-group JVM machinery paid
+    # ~60 µs per bucket over an almost-all-singleton key space — 535
+    # executor-CPU-s at 400k docs / 8.4M band rows, the pipeline's
+    # single largest CPU sink after the substring rewrite (event-log
+    # task metrics, BENCH.md round 4). The kernel consumes rows ALREADY
+    # sorted by (key, doc_id) — WindowExec's required sort order, which
+    # mapInArrow preserves — so run detection is one boundary scan, no
+    # sort (a vectorized order check guards the assumption and falls
+    # back to lexsort if a future plan change breaks it). Per-bucket
+    # state stays HARD-BOUNDED exactly as before: WindowGroupLimit caps
+    # each bucket at keep_limit rows pre-shuffle, so a 10^8-member
+    # boilerplate bucket reaches the kernel as ≤ keep_limit rows.
+    # Output is a mixed table: all-pairs rows (a, b, key=null) for
+    # buckets ≤ cap, representative rows (a=rep, b=null, key) for hot
+    # buckets — the hot branch still BROADCAST-joins reps against the
+    # full input, connecting every member without re-shuffling it.
+    import numpy as np
+    import pyarrow as pa
+
+    def runs_mixed(batches):
+        ks, ds = [], []
+        for batch in batches:
+            ks.append(batch.column(0).to_numpy(zero_copy_only=False))
+            ds.append(batch.column(1).to_numpy(zero_copy_only=False))
+        out_a, out_b, out_k = [], [], []
+        if ks:
+            k = np.concatenate(ks)
+            d = np.concatenate(ds)
+            if k.size:
+                brk = k[1:] != k[:-1]
+                if not np.all(brk | (d[1:] > d[:-1])):
+                    # defensive: input no longer (key, doc_id)-sorted
+                    order = np.lexsort((d, k))
+                    k, d = k[order], d[order]
+                    brk = k[1:] != k[:-1]
+                new = np.empty(k.size, dtype=bool)
+                new[0] = True
+                new[1:] = brk
+                starts = np.flatnonzero(new)
+                lens = np.diff(np.append(starts, k.size))
+                if max_bucket is not None:
+                    # truncated buckets (len == keep_limit) exceed
+                    # max_bucket by construction (keep_limit > max_bucket)
+                    keep = lens <= max_bucket
+                    starts, lens = starts[keep], lens[keep]
+                # small buckets → exact all-pairs, grouped by run length
+                hi = min(cap, int(lens.max()) if lens.size else 0)
+                for length in range(2, hi + 1):
+                    sel = starts[lens == length]
+                    if sel.size == 0:
+                        continue
+                    ii, jj = np.triu_indices(length, 1)
+                    out_a.append(d[(sel[:, None] + ii[None, :]).ravel()])
+                    out_b.append(d[(sel[:, None] + jj[None, :]).ravel()])
+                    out_k.append(np.full(sel.size * ii.size, 0, np.int64))
+                n_pairs = sum(x.size for x in out_a)
+                pair_valid = n_pairs
+                # hot buckets → min(r, len) smallest ids as reps
+                hsel = starts[lens > cap]
+                hlen = lens[lens > cap]
+                if hsel.size:
+                    rr = min(r, keep_limit)
+                    cols = np.arange(rr)
+                    idx = hsel[:, None] + cols[None, :]
+                    mask = cols[None, :] < np.minimum(hlen, rr)[:, None]
+                    out_a.append(d[idx[mask]])
+                    out_b.append(np.zeros(int(mask.sum()), np.int64))
+                    out_k.append(k[idx[mask]])
+                # null masks: pairs have null key, reps have null b
+                a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+                b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+                kk = np.concatenate(out_k) if out_k else np.empty(0, np.int64)
+                valid_b = np.zeros(a.size, dtype=bool)
+                valid_b[:pair_valid] = True
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(a, type=pa.int64()),
+                        pa.array(b, type=pa.int64(), mask=~valid_b),
+                        pa.array(kk, type=pa.int64(), mask=valid_b),
+                    ],
+                    names=["a", "b", key],
+                )
+                return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.empty(0, np.int64), type=pa.int64()),
+                pa.array(np.empty(0, np.int64), type=pa.int64()),
+                pa.array(np.empty(0, np.int64), type=pa.int64()),
+            ],
+            names=["a", "b", key],
+        )
+
+    mixed = kept.select(key, "doc_id").mapInArrow(
+        runs_mixed, f"a long, b long, {key} long"
     )
-    n = F.size("ids")
-    # Both the small-bucket branch and the hot-bucket reps branch consume
-    # `grouped`; persist it so the rank-limit window + groupBy run ONCE
-    # (physical planning substitutes one InMemoryRelation for both
-    # consumers — without it each branch re-shuffles the full input).
-    # `grouped` is bounded: one row per multi-member bucket, arrays
-    # <= keep_limit elements. Lineage is preserved (fault-tolerant),
-    # unlike localCheckpoint; bounded_persist evicts caches from prior
-    # calls at this site (streaming runs this once per micro-batch).
+    # Both the pairs branch and the hot-reps branch consume `mixed`;
+    # persist it so the window + kernel run ONCE (one InMemoryRelation
+    # for both consumers). `mixed` is bounded: ≤ C(cap, 2) pair rows per
+    # small bucket + ≤ R rep rows per hot bucket. Lineage is preserved
+    # (fault-tolerant), unlike localCheckpoint; bounded_persist evicts
+    # caches from prior calls at this site (streaming runs this once per
+    # micro-batch).
     from hsearch_spark.utils import bounded_persist
 
-    grouped = bounded_persist(
-        grouped.where(n > 1), "candidates.bucket_pairs_grouped"
-    )
-    if max_bucket is not None:
-        # n == keep_limit ⇒ the bucket was truncated ⇒ true size > max_bucket
-        grouped = grouped.where(n <= max_bucket)
-    # small buckets: full membership is present → exact all-pairs C(n,2)
-    small = grouped.where(n <= cap)
-    pair_structs = F.flatten(
-        F.transform(
-            F.slice("ids", 1, n - 1),
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    small_pairs = small.select(F.explode(pair_structs).alias("p")).select(
-        "p.a", "p.b"
-    )
+    mixed = bounded_persist(mixed, "candidates.bucket_pairs_grouped")
+    small_pairs = mixed.where(F.col(key).isNull()).select("a", "b")
+    reps = mixed.where(F.col(key).isNotNull()).select(key, "a")
     # hot buckets: R smallest ids are the representatives; broadcast
     # them back against the FULL membership so every member gets an edge
     # without re-shuffling the big side. The broadcast hint is honored
@@ -139,23 +226,19 @@ def bucket_pairs_grouped(
     #    broadcast is safe with NO runtime action.
     # 2. exact count — only when the bound can't clear (10^9+-row
     #    corpora, where one extra job is noise against the pipeline):
-    #    count hot buckets on the already-persisted bounded `grouped`.
+    #    count rep rows on the already-persisted bounded `mixed`.
     # The decision is physical only — emitted pairs are identical on
     # both paths (pinned by test_broadcast_guard_fallback_same_pairs);
     # per-bucket memory bounds hold either way.
-    hot = grouped.where(n > cap)
     bound = None if input_rows is None else r * (input_rows // (cap + 1))
     if bound is not None and bound <= config.max_broadcast_reps:
         broadcast_safe = True
     else:
-        broadcast_safe = hot.count() * r <= config.max_broadcast_reps
-    reps = hot.select(
-        *key_cols, F.explode(F.slice("ids", 1, r)).alias("a")
-    )
+        broadcast_safe = reps.count() <= config.max_broadcast_reps
     if broadcast_safe:
         reps = F.broadcast(reps)
     large_pairs = (
-        base.join(reps, key_cols)
+        base.join(reps, key)
         .where(F.col("a") < F.col("doc_id"))
         .select("a", F.col("doc_id").alias("b"))
     )

@@ -169,3 +169,37 @@ def test_broadcast_guard_proven_bound_same_pairs(spark):
         "BroadcastHashJoin"
         in still_bc._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_bucket_pairs_grouped_matches_bruteforce_oracle(spark):
+    """Randomized bucket sizes (1..3×cap) vs a plain-python policy
+    oracle: all-pairs for 2 <= n <= cap, star over the R smallest ids
+    for n > cap, cross-bucket dedup."""
+    import random
+
+    from hsearch_spark.operators.candidates import bucket_pairs_grouped
+
+    rng = random.Random(13)
+    cfg = DedupConfig(max_bucket_all_pairs=6, star_representatives=3)
+    rows, oracle = [], set()
+    for bucket in range(40):
+        n = rng.randint(1, 18)
+        members = sorted(rng.sample(range(10_000), n))
+        rows += [(m, bucket) for m in members]
+        if n <= 1:
+            continue
+        if n <= cfg.max_bucket_all_pairs:
+            oracle |= {
+                (members[i], members[j])
+                for i in range(n)
+                for j in range(i + 1, n)
+            }
+        else:
+            reps = members[: cfg.star_representatives]
+            oracle |= {(a, b) for a in reps for b in members if a < b}
+    df = spark.createDataFrame(rows, "doc_id long, key long").repartition(7)
+    got = {
+        (r["a"], r["b"])
+        for r in bucket_pairs_grouped(df, ["key"], cfg).collect()
+    }
+    assert got == oracle
