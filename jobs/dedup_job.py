@@ -70,10 +70,22 @@ def main(argv: list[str] | None = None) -> None:
         n_docs = res.clusters.count()
     elapsed = time.monotonic() - t0
     n_clusters = res.clusters.select("cluster_id").distinct().count()
+    # order-independent assignment hash — the cross-cluster-size
+    # determinism invariant (north rule): identical at N and 4N executors
+    from pyspark.sql import functions as F
+
+    assignment_hash = int(
+        res.clusters.agg(
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(doc_id, cluster_id))"), F.lit(0)
+            )
+        ).collect()[0][0]
+    )
     print(
         json.dumps(
             {
                 "config_hash": config.config_hash(),
+                "assignment_hash": assignment_hash,
                 "n_docs": n_docs,
                 "n_clusters": n_clusters,
                 "docs_per_sec": round(n_docs / elapsed, 1),
