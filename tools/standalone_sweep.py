@@ -143,6 +143,7 @@ def run_leg(
             procs.append(w)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         best = None
+        total_cores = n_workers * cores_per
         for rep in range(reps):
             cmd = [
                 _spark_submit(),
@@ -152,11 +153,24 @@ def run_leg(
                 "--driver-memory", "4g",
                 "--conf", f"spark.executor.cores={cores_per}",
                 "--conf", f"spark.executor.memory={mem_per}",
-                "--conf", f"spark.cores.max={n_workers * cores_per}",
-                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", f"spark.cores.max={total_cores}",
+                # sized to the LEG's cores, as a cluster operator would:
+                # shuffle partitions at 4 waves/core, scan splits small
+                # enough that total_cores tasks exist (the fixture is
+                # ~640MB; the 128m default yields ~5 splits, starving any
+                # leg wider than 5 cores), AQE advisory small enough that
+                # coalescing doesn't collapse below one task per core at
+                # this corpus size. None of these change results — the
+                # assignment hash is asserted identical across legs.
+                "--conf",
+                f"spark.sql.shuffle.partitions={max(8, 4 * total_cores)}",
+                "--conf", "spark.sql.files.maxPartitionBytes=16m",
                 "--conf", "spark.sql.adaptive.enabled=true",
                 "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
+                "--conf",
+                "spark.sql.adaptive.advisoryPartitionSizeInBytes=8m",
                 "--conf", "spark.sql.adaptive.skewJoin.enabled=true",
+                "--conf", "spark.locality.wait=0s",
                 "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
                 "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=2048",
                 "--conf", "spark.sql.autoBroadcastJoinThreshold=67108864",
