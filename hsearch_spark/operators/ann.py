@@ -588,3 +588,43 @@ def load_ivf_index(spark, path: str) -> IvfIndex:
     }
     inv = spark.read.parquet(path + "/inv").select("b", "vb", "list_id")
     return IvfIndex(cents, inv, meta)
+
+
+def list_size_metrics(
+    index: IvfIndex, split_oversize: float = 4.0
+) -> DataFrame:
+    """Per-list occupancy of the inverted file: (list_id, n, load_factor,
+    over_cap). load_factor = n / (total / n_lists) — 1.0 is perfectly
+    balanced; over_cap flags lists past `split_oversize` × the mean, the
+    SAME oversize notion build_ivf_index's training splits on. This is
+    the rebuild-cadence signal IvfIndex.add defers to: .add assigns new
+    vectors to FIXED centroids, so distribution drift shows up here as
+    growing load factors long before probe-mode recall visibly sags
+    (the reference monitors the same health as measured recall per bin,
+    motif_both_points.cpp:154-162 — occupancy is the leading indicator,
+    recall the lagging one). Lists with zero members have no inv rows
+    and are absent — harmless for over_cap, and visible as
+    n_lists - #rows if empty-list fraction is wanted. One aggregation
+    over (list_id) — at corpus scale it reads only parquet footers'
+    worth of work relative to a search."""
+    sizes = index.inv.groupBy("list_id").agg(F.count("*").alias("n"))
+    total = sizes.agg(F.sum("n").alias("_total"))
+    return sizes.crossJoin(F.broadcast(total)).select(
+        "list_id",
+        "n",
+        (F.col("n") * index.n_lists / F.col("_total")).alias("load_factor"),
+        (
+            F.col("n") * index.n_lists
+            > F.lit(split_oversize) * F.col("_total")
+        ).alias("over_cap"),
+    )
+
+
+def needs_rebuild(index: IvfIndex, split_oversize: float = 4.0) -> bool:
+    """True when any inverted list exceeds split_oversize × the mean —
+    the programmatic trigger for re-running build_ivf_index on a drifted
+    index (an .add-heavy ingest cadence calls this after appends; the
+    check is one small aggregation, the rebuild is the expensive step it
+    gates)."""
+    m = list_size_metrics(index, split_oversize)
+    return bool(m.where(F.col("over_cap")).limit(1).count() > 0)

@@ -177,15 +177,26 @@ def bucket_pairs_grouped(
                 kk = np.concatenate(out_k) if out_k else np.empty(0, np.int64)
                 valid_b = np.zeros(a.size, dtype=bool)
                 valid_b[:pair_valid] = True
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(a, type=pa.int64()),
-                        pa.array(b, type=pa.int64(), mask=~valid_b),
-                        pa.array(kk, type=pa.int64(), mask=valid_b),
-                    ],
-                    names=["a", "b", key],
-                )
-                return
+                # bounded output batches (~64k rows) instead of one
+                # partition-sized RecordBatch: at extreme key
+                # cardinalities a single batch could approach Arrow's
+                # per-array bound; slicing costs nothing (zero-copy
+                # views) and keeps downstream consumers' memory flat
+                if a.size:
+                    chunk = 1 << 16
+                    for off in range(0, a.size, chunk):
+                        sl = slice(off, off + chunk)
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(a[sl], type=pa.int64()),
+                                pa.array(b[sl], type=pa.int64(),
+                                         mask=~valid_b[sl]),
+                                pa.array(kk[sl], type=pa.int64(),
+                                         mask=valid_b[sl]),
+                            ],
+                            names=["a", "b", key],
+                        )
+                    return
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(np.empty(0, np.int64), type=pa.int64()),

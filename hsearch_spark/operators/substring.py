@@ -81,13 +81,34 @@ def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
     df_max = config.anchor_df_max
     anchors = sigs.select("doc_id", F.explode("anchors").alias("anchor"))
     keyed = anchors.repartition("anchor")
+    pairs = keyed.mapInArrow(
+        _equal_key_runs_pairs(df_max, "anchor"), "a long, b long"
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n_common_anchors"))
+        .where(F.col("n_common_anchors") >= config.anchor_min_common)
+    )
+
+
+def _equal_key_runs_pairs(df_max: int, key_col: str):
+    """Vectorized equal-key run → all-pairs kernel shared by the anchor
+    channel (substring_edges) and the seed channel (seed_suffix_pairs).
+    Input: a shuffle partition of (doc_id, <key_col>) rows, the key
+    hash-partitioned so every run is complete. Lexsorts (key, doc_id),
+    finds equal-key runs, drops runs outside [2, df_max] (df-gate:
+    template text), emits each surviving run's all-pairs with one
+    broadcasted triu-index gather per run length (~100 ns/row of numpy
+    vs ~25 µs per GROUP for the WindowExec + collect_list + pair-explode
+    declarative plan over a singleton-dominant key space — event-log
+    task metrics, BENCH.md round 4)."""
 
     def runs_pairs(
         batches: Iterator[pa.RecordBatch],
     ) -> Iterator[pa.RecordBatch]:
         an_l, ids_l = [], []
         for batch in batches:
-            an_l.append(batch.column("anchor").to_numpy(zero_copy_only=False))
+            an_l.append(batch.column(key_col).to_numpy(zero_copy_only=False))
             ids_l.append(batch.column("doc_id").to_numpy(zero_copy_only=False))
         out_a, out_b = [], []
         if an_l:
@@ -112,17 +133,39 @@ def substring_edges(sigs: DataFrame, config: DedupConfig) -> DataFrame:
                     out_b.append(ids[(sel[:, None] + jj[None, :]).ravel()])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-        # explicit Arrow types so empty partitions keep the declared schema
-        yield pa.RecordBatch.from_arrays(
-            [pa.array(a, type=pa.int64()), pa.array(b, type=pa.int64())],
-            names=["a", "b"],
-        )
+        # bounded ~64k-row output batches (zero-copy slices) rather than
+        # one partition-sized batch; explicit Arrow types so empty
+        # partitions keep the declared schema
+        chunk = 1 << 16
+        for off in range(0, max(a.size, 1), chunk):
+            sl = slice(off, off + chunk)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(a[sl], type=pa.int64()),
+                    pa.array(b[sl], type=pa.int64()),
+                ],
+                names=["a", "b"],
+            )
 
-    pairs = keyed.mapInArrow(runs_pairs, "a long, b long")
-    return (
-        pairs.groupBy("a", "b")
-        .agg(F.count("*").alias("n_common_anchors"))
-        .where(F.col("n_common_anchors") >= config.anchor_min_common)
+    return runs_pairs
+
+
+def anchor_dropped_metrics(sigs: DataFrame, config: DedupConfig) -> DataFrame:
+    """Per template anchor, how many pairs the df-gate did NOT emit —
+    the substring channel's branch of the no-silent-truncation ledger
+    (SURVEY.md §4). An anchor with document frequency n > anchor_df_max
+    is dropped ENTIRELY by the run kernel (semantic drop: site-wide
+    boilerplate, not copied content), so the not-emitted volume is the
+    full C(n, 2) — unlike the band channel's star-R policy, nothing of
+    a gated anchor survives. One aggregation over the already-exploded
+    anchors; same observability contract as
+    candidates.dropped_pairs_metrics (ref hit cap: pcluster.cpp:115-116).
+    """
+    anchors = sigs.select("doc_id", F.explode("anchors").alias("anchor"))
+    sizes = anchors.groupBy("anchor").agg(F.count("*").alias("n"))
+    n = F.col("n")
+    return sizes.where(n > config.anchor_df_max).select(
+        "anchor", "n", (n * (n - 1) / 2).cast("long").alias("dropped_pairs")
     )
 
 
@@ -431,7 +474,22 @@ def seed_suffix_pairs(
     only matches docs whose shared content happens to agree in offset
     phase (mod stride) — fine for aligned/exact-dup probing, wrong for
     arbitrary-offset spans (the anchor channel's content-defined
-    positions solve that without stride-1 cost)."""
+    positions solve that without stride-1 cost).
+
+    Physical plan (round 5): the same two-exchange run-kernel shape as
+    substring_edges — the (seed, suffix) composite key is folded to ONE
+    uniformly-mixed 64-bit xxhash64 (shipping 8 B keys instead of
+    20-char strings through the exchange), hash-repartitioned so every
+    key's run is complete in one task, then the shared Arrow kernel
+    sorts, df-gates and pair-expands. The previous declarative plan
+    (rank-limit window → collect_list → higher-order pair explode) paid
+    ~25 µs of per-group JVM machinery per bucket over a key space that
+    is almost all singletons — at stride-1 windows over every doc that
+    is the dominant stage cost (the same 10× the anchor channel measured
+    in round 4, BENCH.md). A 64-bit cross-key collision merely co-votes
+    two unrelated windows toward a candidate pair that still needs
+    min_common total votes — ≈ (#windows)²/2⁶⁵ expected extra votes,
+    zero at sandbox scale (pinned by the brute-force oracle test)."""
     t = F.col("text")
     width = seed_len + suffix_len
     starts = F.sequence(
@@ -447,34 +505,15 @@ def seed_suffix_pairs(
             ).alias("w"),
         )
         .where(F.length("w") == width)
-        .select(
-            "doc_id",
-            F.substring("w", 1, seed_len).alias("seed"),
-            F.substring("w", seed_len + 1, suffix_len).alias("suffix"),
-        )
+        .select("doc_id", F.xxhash64("w").alias("key"))
         .distinct()  # one vote per (doc, seed, suffix)
     )
-    w = Window.partitionBy("seed", "suffix").orderBy("doc_id")
-    kept = wins.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= df_max + 1
-    )
-    grouped = kept.groupBy("seed", "suffix").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("ids")
-    )
-    n = F.size("ids")
-    grouped = grouped.where((n >= 2) & (n <= df_max))
-    pair_structs = F.flatten(
-        F.transform(
-            F.slice("ids", 1, n - 1),
-            lambda x, i: F.transform(
-                F.slice("ids", i + F.lit(2), F.size("ids")),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    keyed = wins.repartition("key")
+    pairs = keyed.mapInArrow(
+        _equal_key_runs_pairs(df_max, "key"), "a long, b long"
     )
     return (
-        grouped.select(F.explode(pair_structs).alias("p"))
-        .groupBy("p.a", "p.b")
+        pairs.groupBy("a", "b")
         .agg(F.count("*").alias("n_common_seeds"))
         .where(F.col("n_common_seeds") >= min_common)
     )

@@ -74,10 +74,19 @@ def run_dedup(
 
     def stage(name: str, build) -> DataFrame:
         t0 = time.monotonic()
-        if store is not None:
-            df = store.materialize(name, build)
-        else:
-            df = build().localCheckpoint()
+        # label every job this stage materializes (thread-local, so the
+        # concurrent-channels path labels correctly too): shows up in the
+        # Spark UI / event log as the pipeline phase — the attribution
+        # handle tools/profile_eventlog.py groups task metrics by
+        sc = spark.sparkContext
+        sc.setJobDescription(f"hsearch:{name}")
+        try:
+            if store is not None:
+                df = store.materialize(name, build)
+            else:
+                df = build().localCheckpoint()
+        finally:
+            sc.setJobDescription(None)
         timings[name] = round(time.monotonic() - t0, 3)
         return df
 
@@ -193,8 +202,9 @@ def run_dedup(
     )
 
     # no-silent-truncation ledger (north rule: per-partition lineage +
-    # metrics): for every hot bucket the star-R policy bounded, record
-    # how many all-pairs candidates were NOT emitted — the auditable
+    # metrics): for every hot bucket the star-R policy bounded — and for
+    # every template anchor the substring df-gate dropped — record how
+    # many all-pairs candidates were NOT emitted: the auditable
     # counterpart of the reference's silent 500-hit cap
     # (pcluster.cpp:115-116). Checkpointed as its own stage when a
     # work_dir is set (row count lands in stage metrics for free);
@@ -223,6 +233,19 @@ def run_dedup(
                     dropped_pairs_metrics(keyed, ["combo_key"], config).select(
                         F.lit("simhash_combos").alias("channel"),
                         F.col("combo_key").cast("string").alias("bucket_key"),
+                        F.col("n").alias("bucket_size"),
+                        "dropped_pairs",
+                    )
+                )
+            if enable_substring_channel:
+                from hsearch_spark.operators.substring import (
+                    anchor_dropped_metrics,
+                )
+
+                parts_.append(
+                    anchor_dropped_metrics(sigs, config).select(
+                        F.lit("substring_anchors").alias("channel"),
+                        F.col("anchor").cast("string").alias("bucket_key"),
                         F.col("n").alias("bucket_size"),
                         "dropped_pairs",
                     )

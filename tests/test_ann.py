@@ -249,3 +249,42 @@ def test_ivf_index_incremental_add_exact_at_full_probe(spark):
     base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
     res = idx.search(base, k=3, n_probe=idx.n_lists, prune_partitions=False)
     assert {r["b"] for r in res.collect()} <= base_ids
+
+
+def test_ivf_list_metrics_flag_flips_on_skewed_add(spark):
+    """The index maintenance surface (round-5): a freshly TRAINED index
+    is balanced (no over_cap list — training splits oversized lists),
+    and an .add() batch that piles onto one region flips the over_cap
+    flag / needs_rebuild — the drift signal IvfIndex.add's docstring
+    defers rebuild cadence to."""
+    import pyspark.sql.functions as F
+
+    from hsearch_spark.operators.ann import (
+        build_ivf_index,
+        list_size_metrics,
+        needs_rebuild,
+    )
+
+    base = _blobs(spark, n=200, seed=3)
+    idx = build_ivf_index(base, n_lists=8, seed=42)
+    m = {r["list_id"]: r for r in list_size_metrics(idx).collect()}
+    assert sum(r["n"] for r in m.values()) == 200
+    assert not any(r["over_cap"] for r in m.values())
+    assert not needs_rebuild(idx)
+
+    # skewed ingest: many near-identical vectors landing in ONE list
+    rng = np.random.default_rng(11)
+    hot = rng.standard_normal(16)
+    rows = [
+        (10_000 + i, [float(x) for x in hot + rng.standard_normal(16) * 0.01])
+        for i in range(900)
+    ]
+    extra = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    grown = idx.add(extra)
+    m2 = list_size_metrics(grown)
+    hot_rows = m2.where(F.col("over_cap")).collect()
+    assert hot_rows, "a 900-vector pile-up on one list must flag over_cap"
+    assert max(r["load_factor"] for r in hot_rows) > 4.0
+    assert needs_rebuild(grown)
+    # the original index's metrics are unchanged by the grown copy
+    assert not needs_rebuild(idx)

@@ -218,3 +218,36 @@ def test_dropped_pairs_ledger_emitted(spark, tmp_path):
     )
     assert res2.dropped_pairs is not None
     assert res2.dropped_pairs.count() == len(rows)
+
+
+def test_substring_df_gate_drops_in_ledger(spark):
+    """The substring channel's df-gate is a SEMANTIC drop (template
+    text), but SURVEY.md §4's 'logged, not silent' covers it too: a
+    planted boilerplate anchor (df > anchor_df_max) must appear in the
+    dropped-pairs ledger with the full C(n,2) it suppressed — the run
+    kernel emits nothing for a gated anchor, unlike the band channel's
+    star-R partial emission."""
+    from hsearch_spark.sources.pages import pages_dataframe as _pd
+
+    cfg = DedupConfig(anchor_df_max=3)
+    boiler = (
+        "site wide navigation header repeated verbatim on every page " * 5
+    )
+    pages, _ = _pd(spark, n_docs=40, seed=17)
+    docs = pages.select(
+        "url", "warc_ts", "html",
+        F.concat(F.lit(boiler), F.col("text")).alias("text"),
+        "lang",
+    )
+    res = run_dedup(spark, docs, config=cfg)
+    rows = res.dropped_pairs.where(
+        F.col("channel") == "substring_anchors"
+    ).collect()
+    assert rows, "a df=40 boilerplate anchor must be ledgered"
+    for row in rows:
+        n = row["bucket_size"]
+        assert n > cfg.anchor_df_max
+        assert row["dropped_pairs"] == n * (n - 1) // 2
+    # the boilerplate prefix is on all 40 docs → at least one anchor
+    # with bucket_size == 40 (the planted template span carries several)
+    assert any(row["bucket_size"] == 40 for row in rows)

@@ -237,6 +237,61 @@ def test_anchor_catch_floor_at_min_span():
     assert mod.design_catch(cfg.min_span, cfg) >= 0.99
 
 
+def test_seed_suffix_pairs_matches_bruteforce_oracle(spark):
+    """Run-kernel seed channel vs a plain-python (seed, suffix) window
+    oracle — df-gate, min_common, and pair counts all exact. Pins the
+    round-5 rewrite (xxhash64-folded key + shared Arrow run kernel) to
+    the declarative semantics it replaced, including that a 64-bit key
+    fold introduces no spurious pairs at test scale."""
+    from collections import Counter
+
+    seed_len, suffix_len, stride, min_common, df_max = 16, 4, 1, 2, 3
+    span = "the quick brown fox jumps over the lazy dog once more " * 3
+    boiler = "shared boilerplate navigation chrome on every page here " * 3
+    texts = [
+        "doc zero head " + span + " doc zero tail",
+        "a different doc one heading " + span + " other tail",
+        boiler + "unique body two " * 8,
+        boiler + "unique body three " * 8,
+        boiler + "unique body four " * 8,
+        boiler + "unique body five " * 8,  # boiler df=4 > df_max=3
+        "nothing shared in this last document at all " * 6,
+    ]
+    width = seed_len + suffix_len
+    per_doc = {
+        i: {
+            t[s : s + width]
+            for s in range(0, max(len(t) - width + 1, 0), stride)
+        }
+        for i, t in enumerate(texts)
+    }
+    df = Counter(w for s in per_doc.values() for w in s)
+    counts = Counter()
+    for w in {x for s in per_doc.values() for x in s}:
+        if not (2 <= df[w] <= df_max):
+            continue
+        docs_with = sorted(i for i, s in per_doc.items() if w in s)
+        for x in range(len(docs_with)):
+            for y in range(x + 1, len(docs_with)):
+                counts[(docs_with[x], docs_with[y])] += 1
+    oracle = {p: n for p, n in counts.items() if n >= min_common}
+    got = {
+        (r["a"], r["b"]): r["n_common_seeds"]
+        for r in seed_suffix_pairs(
+            _docs_df(spark, texts),
+            seed_len=seed_len,
+            suffix_len=suffix_len,
+            stride=stride,
+            min_common=min_common,
+            df_max=df_max,
+        ).collect()
+    }
+    assert got == oracle
+    assert got, "fixture must produce at least one surviving pair"
+    # the boilerplate-only docs must not pair (df-gate dropped their key)
+    assert all(a in (0, 1) and b in (0, 1) for (a, b) in got)
+
+
 def test_substring_edges_matches_bruteforce_oracle(spark):
     """Arrow run-detection kernel vs a plain-python pair-count oracle
     over the same per-doc anchor sets (including df-gate and min_common
