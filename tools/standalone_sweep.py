@@ -68,6 +68,31 @@ def _wait_port(port: int, timeout: float = 30.0) -> None:
     raise TimeoutError(f"port {port} not listening after {timeout}s")
 
 
+def _wait_workers(n: int, ui_port: int = 8090, timeout: float = 60.0) -> None:
+    """Block until the master reports n ALIVE workers. Without this a
+    --reps 1 wide leg can start its single measured rep before every
+    executor has registered, under-reading throughput (ADVICE r4)."""
+    import urllib.request
+
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < timeout:
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{ui_port}/json/", timeout=2
+            ) as resp:
+                state = json.loads(resp.read())
+            alive = [
+                w for w in state.get("workers", [])
+                if w.get("state") == "ALIVE"
+            ]
+            if len(alive) >= n:
+                return
+        except Exception:
+            pass
+        time.sleep(0.5)
+    raise TimeoutError(f"{n} ALIVE workers not registered after {timeout}s")
+
+
 def _spawn(args: list[str], log: str, env: dict) -> subprocess.Popen:
     f = open(log, "w")
     return subprocess.Popen(
@@ -109,6 +134,13 @@ def run_leg(
     fixture: str,
     reps: int,
     scratch: str,
+    local_dir: str | None = None,
+    shuffle_buffer: str = "1m",
+    codec: str = "lz4",
+    event_log_dir: str | None = None,
+    shuffle_partitions: int | None = None,
+    java_opts: str | None = None,
+    job_reps: int = 1,
 ) -> dict:
     env = dict(os.environ)
     env["SPARK_NO_DAEMONIZE"] = "1"
@@ -141,9 +173,36 @@ def run_leg(
                 f"{scratch}/worker{i}.log", env,
             )
             procs.append(w)
+        _wait_workers(n_workers)
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         best = None
         total_cores = n_workers * cores_per
+        # shuffle-write levers (the round-4 event-log profile attributed
+        # the wide leg's dominant stage time to shuffle WRITE): spill and
+        # shuffle files on fast local storage (tmpfs here — the sandbox
+        # stand-in for the local NVMe a real cluster node provisions for
+        # spark.local.dir), a 1m file buffer instead of the 32k default
+        # (fewer, larger write() calls per shuffle file), and a pluggable
+        # codec (the band exchange is uniformly-mixed 64-bit hashes —
+        # near-incompressible, so codec choice is measurable, not free).
+        shuffle_confs = [
+            "--conf", f"spark.shuffle.file.buffer={shuffle_buffer}",
+            "--conf", f"spark.io.compression.codec={codec}",
+        ]
+        if local_dir:
+            os.makedirs(local_dir, exist_ok=True)
+            shuffle_confs += ["--conf", f"spark.local.dir={local_dir}"]
+        if event_log_dir:
+            os.makedirs(event_log_dir, exist_ok=True)
+            shuffle_confs += [
+                "--conf", "spark.eventLog.enabled=true",
+                "--conf", f"spark.eventLog.dir={event_log_dir}",
+                "--conf", "spark.eventLog.compress=false",
+            ]
+        if java_opts:
+            shuffle_confs += [
+                "--conf", f"spark.executor.extraJavaOptions={java_opts}",
+            ]
         for rep in range(reps):
             cmd = [
                 _spark_submit(),
@@ -163,7 +222,8 @@ def run_leg(
                 # this corpus size. None of these change results — the
                 # assignment hash is asserted identical across legs.
                 "--conf",
-                f"spark.sql.shuffle.partitions={max(8, 4 * total_cores)}",
+                "spark.sql.shuffle.partitions="
+                f"{shuffle_partitions or max(8, 4 * total_cores)}",
                 "--conf", "spark.sql.files.maxPartitionBytes=16m",
                 "--conf", "spark.sql.adaptive.enabled=true",
                 "--conf", "spark.sql.adaptive.coalescePartitions.enabled=true",
@@ -177,16 +237,31 @@ def run_leg(
                 "--conf", "spark.sql.session.timeZone=UTC",
                 "--conf", "spark.ui.enabled=false",
                 "--conf", "spark.ui.showConsoleProgress=false",
+                *shuffle_confs,
                 f"{repo}/jobs/dedup_job.py",
                 "--input", fixture,
+                "--reps", str(job_reps),
             ]
             out = subprocess.run(
                 cmd, capture_output=True, text=True, env=env, timeout=3600
             )
             line = None
+            rep_lines = []
             for ln in out.stdout.splitlines():
                 if ln.startswith("{"):
-                    line = json.loads(ln)
+                    try:
+                        parsed = json.loads(ln)
+                    except json.JSONDecodeError:
+                        continue  # log4j noise that happens to start with {
+                    if isinstance(parsed, dict) and "elapsed_sec" in parsed:
+                        rep_lines.append(parsed)
+                        line = parsed  # last = warm rep when job_reps > 1
+            if line is not None and len(rep_lines) > 1:
+                # keep the cold-start number alongside the measured warm one
+                line["cold_elapsed_sec"] = rep_lines[0]["elapsed_sec"]
+                line["rep_elapsed_sec"] = [
+                    r["elapsed_sec"] for r in rep_lines
+                ]
             if line is None:
                 sys.stderr.write(out.stdout[-3000:] + "\n")
                 sys.stderr.write(out.stderr[-3000:] + "\n")
@@ -206,16 +281,48 @@ def run_leg(
         for p in reversed(procs):
             _kill(p)
         shutil.rmtree(scratch, ignore_errors=True)
+        if local_dir:
+            shutil.rmtree(local_dir, ignore_errors=True)  # tmpfs = RAM
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("n_docs", type=int)
     ap.add_argument("out", nargs="?", default=None)
-    ap.add_argument("--legs", type=int, nargs=2, default=[1, 4])
+    ap.add_argument("--legs", type=int, nargs="+", default=[1, 4],
+                    help="executor counts; one value = single-leg probe "
+                    "(no efficiency), two = N-vs-4N pair")
     ap.add_argument("--cores-per", type=int, default=2)
     ap.add_argument("--mem-per", default="10g")
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument(
+        "--local-dir",
+        default="/dev/shm/hsearch_localdir"
+        if os.path.isdir("/dev/shm")
+        else None,
+        help="spark.local.dir for shuffle/spill files (default: tmpfs — "
+        "the sandbox stand-in for per-node NVMe; pass '' for Spark's "
+        "default java.io.tmpdir)",
+    )
+    ap.add_argument("--shuffle-buffer", default="1m")
+    ap.add_argument("--codec", default="lz4",
+                    help="spark.io.compression.codec (lz4|zstd|snappy)")
+    ap.add_argument("--event-logs", default=None,
+                    help="keep per-leg Spark event logs under this dir "
+                    "(profile with tools/profile_eventlog.py --parse)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="override the 4-waves/core shuffle-partition "
+                    "sizing (A/B lever: reducer count drives shuffle "
+                    "block count = mappers × reducers)")
+    ap.add_argument("--java-opts", default=None,
+                    help="spark.executor.extraJavaOptions (JIT/GC A/B)")
+    ap.add_argument("--job-reps", type=int, default=1,
+                    help="pipeline reps INSIDE each spark-submit (see "
+                    "jobs/dedup_job.py --reps); >1 measures the warm "
+                    "steady-state rep — the per-executor warmup (JIT, "
+                    "heap fault-in) that a 67s sandbox job pays on ~30%% "
+                    "of its wall amortizes to ~0 over a real cluster's "
+                    "long-lived executors. Cold rep kept in the report.")
     args = ap.parse_args()
 
     from tools.scaling_leg import _cpu_ticks, _steal_fraction
@@ -231,6 +338,14 @@ def main() -> None:
         r = run_leg(
             k, args.cores_per, args.mem_per, fixture, args.reps,
             scratch=f"/tmp/standalone_scratch_{k}",
+            local_dir=(args.local_dir or None)
+            and f"{args.local_dir}_{k}w",
+            shuffle_buffer=args.shuffle_buffer,
+            codec=args.codec,
+            event_log_dir=args.event_logs and f"{args.event_logs}/{k}w",
+            shuffle_partitions=args.shuffle_partitions,
+            java_opts=args.java_opts,
+            job_reps=args.job_reps,
         )
         t1 = _cpu_ticks()
         _, steal_busy = _steal_fraction(t0, t1)
@@ -244,11 +359,23 @@ def main() -> None:
             flush=True,
         )
 
+    if len(results) == 1:
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"n_docs": args.n_docs, "legs": results}, f, indent=1)
+        return
     lo, hi = results
     assert lo["assignment_hash"] == hi["assignment_hash"], (
         "cluster assignments differ across executor counts: "
         f"{lo['assignment_hash']} vs {hi['assignment_hash']}"
     )
+    # the XOR-fold hash cancels even-multiplicity duplicate rows; the
+    # count comparison closes that blind spot (ADVICE r4)
+    for field in ("n_docs", "n_clusters"):
+        assert lo[field] == hi[field], (
+            f"{field} differs across executor counts: "
+            f"{lo[field]} vs {hi[field]}"
+        )
     ratio = hi["n_workers"] / lo["n_workers"]
     eff = (lo["elapsed_sec"] / hi["elapsed_sec"]) / ratio
     print(
