@@ -141,10 +141,24 @@ def run_leg(
     shuffle_partitions: int | None = None,
     java_opts: str | None = None,
     job_reps: int = 1,
+    extra_confs: list[str] | None = None,
 ) -> dict:
     env = dict(os.environ)
     env["SPARK_NO_DAEMONIZE"] = "1"
     env.pop("SPARK_MASTER_OPTS", None)
+    # CRITICAL (round-5 finding): in standalone mode the WORKER creates
+    # each executor's local dirs from ITS OWN env (SPARK_LOCAL_DIRS →
+    # passed down as SPARK_EXECUTOR_DIRS); the application's
+    # spark.local.dir conf is ignored for executor shuffle/spill files.
+    # Every pre-fix sweep therefore wrote shuffle files to /tmp (ext4
+    # disk) despite --local-dir tmpfs — the event-log profile showed the
+    # same ~500MB map stage paying 0.4s of shuffle-write time at 1
+    # executor vs 20.7s at 4 (four processes contending on one disk).
+    # Exporting the dir through the worker env is what a real cluster
+    # does per node (SPARK_LOCAL_DIRS=/mnt/nvme in spark-env.sh).
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        env["SPARK_LOCAL_DIRS"] = local_dir
     procs: list[subprocess.Popen] = []
     try:
         os.makedirs(scratch, exist_ok=True)
@@ -190,7 +204,8 @@ def run_leg(
             "--conf", f"spark.io.compression.codec={codec}",
         ]
         if local_dir:
-            os.makedirs(local_dir, exist_ok=True)
+            # for the DRIVER's own disk blocks (executors get theirs from
+            # the worker env above)
             shuffle_confs += ["--conf", f"spark.local.dir={local_dir}"]
         if event_log_dir:
             os.makedirs(event_log_dir, exist_ok=True)
@@ -203,6 +218,8 @@ def run_leg(
             shuffle_confs += [
                 "--conf", f"spark.executor.extraJavaOptions={java_opts}",
             ]
+        for c in extra_confs or []:
+            shuffle_confs += ["--conf", c]
         for rep in range(reps):
             cmd = [
                 _spark_submit(),
@@ -316,6 +333,9 @@ def main() -> None:
                     "block count = mappers × reducers)")
     ap.add_argument("--java-opts", default=None,
                     help="spark.executor.extraJavaOptions (JIT/GC A/B)")
+    ap.add_argument("--extra-conf", action="append", default=[],
+                    help="additional spark conf key=value (repeatable; "
+                    "A/B lever for arbitrary shuffle/memory confs)")
     ap.add_argument("--job-reps", type=int, default=1,
                     help="pipeline reps INSIDE each spark-submit (see "
                     "jobs/dedup_job.py --reps); >1 measures the warm "
@@ -346,6 +366,7 @@ def main() -> None:
             shuffle_partitions=args.shuffle_partitions,
             java_opts=args.java_opts,
             job_reps=args.job_reps,
+            extra_confs=args.extra_conf,
         )
         t1 = _cpu_ticks()
         _, steal_busy = _steal_fraction(t0, t1)
