@@ -163,6 +163,57 @@ def _small_star(edges: DataFrame) -> DataFrame:
 _DRIVER_CC_MAX_EDGES = 4_000_000  # ~64 MB of (u, v) int64 pairs
 
 
+def _arrow_conf(spark):
+    """Force Arrow transfer for the driver tier's collect/upload
+    regardless of session conf (spark.sql.execution.arrow.pyspark.enabled
+    defaults to FALSE, and the Row-object fallback costs multiple
+    driver-seconds of pure CPython at ~10^6 edge rows — a flat term no
+    added executor shrinks: the clusters stage measured ~9-12 s at BOTH
+    1 and 4 executors on the 1.6M-doc corpus before Arrow). Batch size
+    is raised for this bulk transfer only — sessions tune
+    maxRecordsPerBatch small (e.g. 2048) to bound pandas-UDF batches,
+    which would slice this collect into hundreds of tiny batches.
+    Returns (confs_to_set, saved_values)."""
+    keys = {
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "131072",
+    }
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    return keys, saved
+
+
+def _arrow_collect(df: DataFrame):
+    """df.toPandas() with Arrow forced on (conf restored after)."""
+    spark = df.sparkSession
+    keys, saved = _arrow_conf(spark)
+    try:
+        for k, val in keys.items():
+            spark.conf.set(k, val)
+        return df.toPandas()
+    finally:
+        for k, val in saved.items():
+            if val is not None:
+                spark.conf.set(k, val)
+
+
+def _arrow_upload(spark, pdf, schema: str) -> DataFrame:
+    """spark.createDataFrame(pandas) with Arrow forced on."""
+    keys, saved = _arrow_conf(spark)
+    try:
+        for k, val in keys.items():
+            spark.conf.set(k, val)
+        return spark.createDataFrame(pdf, schema)
+    finally:
+        for k, val in saved.items():
+            if val is not None:
+                spark.conf.set(k, val)
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 25,
@@ -181,12 +232,16 @@ def connected_components(
     tables the channels emit. Disable for adversarially skewed inputs
     where even salted contraction groups would be too large.
 
-    driver_max_edges: when store=None and the (pre-contracted,
-    deduplicated) edge table is at most this many rows, the star loop is
-    replaced by ONE collect + the same vectorized min-label union-find
-    the contraction uses — identical labels by construction (both
-    converge to component min), pinned by
+    driver_max_edges: when store=None and the edge table is at most this
+    many rows (raw count — a cheap cached-block scan — or, failing that,
+    the distinct count after iter_000), the star loop is replaced by ONE
+    Arrow collect + the same vectorized min-label union-find the
+    contraction uses — identical labels by construction (both converge
+    to component min), pinned by
     tests/test_components.py::test_cc_driver_tier_equals_star_loop.
+    The raw-count tier runs ZERO shuffles: min-label union-find is
+    idempotent over duplicate edges, so the distinct() exchange the
+    loop path needs to bound its iteration cost is skipped outright.
     Rationale: each star round costs ~6 exchanges plus a full job
     barrier of serial driver time that no added executor can shrink —
     the pipeline's clusters stage measured ~6 s at BOTH 2 and 8 cores
@@ -241,6 +296,41 @@ def connected_components(
     base = edges.select(F.col("a").alias("u"), F.col("b").alias("v")).where(
         F.col("u") != F.col("v")
     )
+
+    if store is None and driver_max_edges > 0:
+        # Driver-tier pre-check on the RAW edge count — one cheap job
+        # (the pipeline hands us an already-checkpointed edge table, so
+        # this is a cached-block scan). Raw count >= distinct count, so
+        # the guard is conservative: a duplicate-heavy table may fall
+        # through to the loop below even though its distinct form would
+        # have fit, never the reverse.
+        n_raw = base.count()
+        if n_raw == 0:
+            spark = edges.sparkSession
+            return spark.createDataFrame([], "doc_id long, cluster_id long")
+        if n_raw <= driver_max_edges:
+            # ZERO-SHUFFLE driver tier: min-label union-find is
+            # idempotent over duplicate edges, so the distinct()
+            # exchange the loop path needs (to bound iteration cost) is
+            # pure overhead here — collect the cached blocks directly.
+            # At 1.6M docs this removes the clusters stage's only
+            # shuffle plus the iter_000 checkpoint+aggregate job
+            # (~1.5-2 s of core-count-independent wall on BOTH legs of
+            # the N-vs-4N sweep). Output is sorted by doc_id
+            # (np.unique) — deterministic regardless of collect order.
+            import numpy as np
+            import pandas as pd
+
+            pdf = _arrow_collect(base)
+            u = np.ascontiguousarray(pdf["u"].to_numpy(dtype=np.int64))
+            v = np.ascontiguousarray(pdf["v"].to_numpy(dtype=np.int64))
+            nodes, root = _uf_min_labels(u, v)
+            return _arrow_upload(
+                edges.sparkSession,
+                pd.DataFrame({"doc_id": nodes, "cluster_id": root}),
+                "doc_id long, cluster_id long",
+            )
+
     if pre_contract and store is not None:
         # one union-find pass per hash bucket before the first star
         # round: the channels emit star pairs, so this collapses most
@@ -260,24 +350,20 @@ def connected_components(
         return spark.createDataFrame([], "doc_id long, cluster_id long")
 
     if store is None and n <= driver_max_edges:
-        # driver tier: iter_000 is already materialized (cached local
-        # blocks), so the collect is a block fetch, and the numpy kernel
-        # replaces every star round's exchanges + job barriers. Output
-        # is sorted by doc_id (np.unique) — deterministic regardless of
-        # collect order. The collect itself is Arrow (toPandas), not
-        # Row-object based: at ~10^6 edge rows the Row path costs
-        # multiple driver-seconds of pure CPython — a flat term that no
-        # added executor shrinks (the clusters stage measured ~9-12 s at
-        # BOTH 1 and 4 executors on the 1.6M-doc corpus before this;
-        # Arrow collapses the decode to a buffer copy).
+        # driver tier, distinct form: reached only when the RAW count
+        # exceeded the bound but dedup shrank the table under it
+        # (duplicate-heavy caller input — the pipeline's edge table is
+        # already unique by (a,b), so it takes the zero-shuffle tier
+        # above). iter_000 is materialized, so this is a block fetch.
         import numpy as np
         import pandas as pd
 
-        pdf = e.toPandas()
+        pdf = _arrow_collect(e)
         u = np.ascontiguousarray(pdf["u"].to_numpy(dtype=np.int64))
         v = np.ascontiguousarray(pdf["v"].to_numpy(dtype=np.int64))
         nodes, root = _uf_min_labels(u, v)
-        return edges.sparkSession.createDataFrame(
+        return _arrow_upload(
+            edges.sparkSession,
             pd.DataFrame({"doc_id": nodes, "cluster_id": root}),
             "doc_id long, cluster_id long",
         )

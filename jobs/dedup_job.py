@@ -124,7 +124,19 @@ def main(argv: list[str] | None = None) -> None:
             ),
             flush=True,
         )
-        res = None  # drop localCheckpoint refs so ContextCleaner frees them
+        # Drop localCheckpoint refs and force the cleanup NOW rather than
+        # whenever the async ContextCleaner gets around to it: rep N's
+        # checkpoint blocks (~3 GB at 1.6M docs) otherwise linger into
+        # rep N+1's measurement window, squeezing storage memory hardest
+        # on the narrowest leg (1 executor holds ALL blocks) — a bias the
+        # N-vs-4N efficiency comparison must not carry.
+        res = None
+        if rep + 1 < args.reps:
+            import gc
+
+            gc.collect()  # release py4j refs so the cleaner sees them
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)  # let the ContextCleaner drain its queue
     spark.stop()
 
 
