@@ -128,6 +128,25 @@ class DedupConfig:
     # shuffle join instead of blowing the driver/broadcast memory limit
     # on a corpus with pathologically many hot buckets
     max_broadcast_reps: int = 10_000_000
+    # physical-only knob (NOT in config_hash — does not change results):
+    # the verify stage's doc-once-per-partition cogroup plan (operators/
+    # verify.py) broadcasts a (doc_id, partition) need-list of at most
+    # 2 × pair_rows rows; while the caller-proven candidate-pair count
+    # is at or under this bound the broadcast is ≤ ~300 MB and the
+    # cogroup plan replaces the join-join plan (which ships each doc's
+    # sig/text once per PAIR through two exchanges — measured 7.6 GB of
+    # shuffle per rep at 1.6M docs vs ~2.5 GB cogrouped). Above the
+    # bound the join plan runs exactly as before.
+    verify_cogroup_max_pairs: int = 8_000_000
+    # physical-only: below this many candidate pairs the corpus is small
+    # enough that the join plan's inputs broadcast outright (texts/sigs
+    # under autoBroadcastJoinThreshold — zero payload exchange), and the
+    # cogroup plan's extra need-distinct + Python cogroup round trip is
+    # pure overhead (measured ~+20% on the 20k-doc bench corpus). Pair
+    # counts track corpus size ~linearly on web-like corpora (14.6k
+    # pairs at 20k docs, 125k at 100k), so the floor flips plans around
+    # ~300k docs — where payload tables stop being broadcastable.
+    verify_cogroup_min_pairs: int = 200_000
     # --- determinism ---
     seed: int = 42
     # escape hatch (NOT in config_hash): validate_banding=False downgrades
@@ -148,7 +167,14 @@ class DedupConfig:
     # fields that change HOW the plan executes or validates, never WHAT it
     # computes — excluded from the lineage hash so flipping them doesn't
     # spuriously invalidate checkpoints
-    _NON_SEMANTIC = frozenset({"max_broadcast_reps", "validate_banding"})
+    _NON_SEMANTIC = frozenset(
+        {
+            "max_broadcast_reps",
+            "validate_banding",
+            "verify_cogroup_max_pairs",
+            "verify_cogroup_min_pairs",
+        }
+    )
 
     def config_hash(self) -> str:
         """Stable 12-hex digest of the semantic config → checkpoint

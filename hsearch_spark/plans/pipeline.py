@@ -133,9 +133,18 @@ def run_dedup(
     #   the substring channel doesn't redo the minhash verify, and on a
     #   multi-tenant cluster FAIR pools keep one channel's barrier from
     #   idling the others' cores.
+    # candidate-pair count: free from the stage sidecar when
+    # checkpointing, one cached-block count otherwise — the driver-proven
+    # bound that gates the verify stage's doc-once cogroup plan (its
+    # need-list broadcast is ≤ 2 × n_cands rows by construction)
+    n_cands = (
+        int(store.metrics["candidates"]["rows"])
+        if store is not None
+        else cands.count()
+    )
     channels: dict[str, object] = {
         "edges_minhash": lambda: verify_pairs(
-            cands, sigs, docs, config, method="minhash"
+            cands, sigs, docs, config, method="minhash", pair_rows=n_cands
         ),
         "edges_exact": lambda: exact_duplicate_pairs(docs).select(
             "a", "b", F.lit(1.0).alias("jaccard"), F.lit("exact").alias("method")

@@ -76,6 +76,26 @@ def test_cluster_assignments_match_planted_truth(spark, pipeline_result):
         assert len(matches) == 1 and matches[0] == fam, fam
 
 
+def test_pipeline_cogroup_verify_plan_same_clusters(spark):
+    """End-to-end plan equivalence: forcing the verify stage's doc-once
+    cogroup plan (floor lowered to cover the tiny corpus) must yield the
+    exact clusters the default join plan yields — the same invariant the
+    400k/1.6M sweep pins via the assignment hash."""
+    import dataclasses
+
+    from hsearch_spark.config import DedupConfig
+
+    pages, _ = pages_dataframe(spark, n_docs=250, seed=21)
+    cfg = DedupConfig()
+    forced = dataclasses.replace(cfg, verify_cogroup_min_pairs=1)
+    assert forced.config_hash() == cfg.config_hash()  # physical-only knob
+    r1 = run_dedup(spark, pages, config=cfg)
+    r2 = run_dedup(spark, pages, config=forced)
+    c1 = {r["doc_id"]: r["cluster_id"] for r in r1.clusters.collect()}
+    c2 = {r["doc_id"]: r["cluster_id"] for r in r2.clusters.collect()}
+    assert c1 == c2
+
+
 def test_pipeline_deterministic_across_runs(spark):
     pages, _ = pages_dataframe(spark, n_docs=150, seed=7)
     r1 = run_dedup(spark, pages)
