@@ -128,25 +128,30 @@ class DedupConfig:
     # shuffle join instead of blowing the driver/broadcast memory limit
     # on a corpus with pathologically many hot buckets
     max_broadcast_reps: int = 10_000_000
-    # physical-only knob (NOT in config_hash — does not change results):
-    # the verify stage's doc-once-per-partition cogroup plan (operators/
-    # verify.py) broadcasts a (doc_id, partition) need-list of at most
-    # 2 × pair_rows rows; while the caller-proven candidate-pair count
-    # is at or under this bound the broadcast is ≤ ~300 MB and the
-    # cogroup plan replaces the join-join plan (which ships each doc's
-    # sig/text once per PAIR through two exchanges — measured 7.6 GB of
-    # shuffle per rep at 1.6M docs vs ~2.5 GB cogrouped). Above the
-    # bound the join plan runs exactly as before.
+    # physical-only knobs (NOT in config_hash — do not change results):
+    # verify-stage plan choice. "join" (default) = pairs ⋈ payload on a,
+    # then on b — the intermediate ships each doc's sig/text once per
+    # PAIR (measured 9.3 GB of edges-phase shuffle per rep at 1.6M
+    # docs). "cogroup" = the doc-once-per-partition plan (operators/
+    # verify._cogroup_pair_payload): a broadcast (doc_id, partition)
+    # need-list multicasts payloads map-side, cutting the edges-phase
+    # shuffle to 6.5 GB (−30%) at the same corpus. MEASURED OUTCOME on
+    # this host (tmpfs-backed spark.local.dir, where shuffle bytes are
+    # memcpy-cheap): the join plan is faster at every tested scale
+    # (20k: 8.5 vs 10.3 s best-of-4; 1.6M local[8]: 193 vs 230 s) —
+    # the cogroup's pandas transport of payloads costs more CPU than
+    # the bytes it saves, so "join" is the default. The cogroup plan is
+    # kept, tested result-identical (assignment hash 4305472057565209187
+    # at 1.6M under both), for deployments whose shuffle path is a real
+    # disk: the pre-tmpfs round-4 profile paid 20.7 s of shuffle-WRITE
+    # wall on one 500 MB exchange at 4 executors — a regime where a 30%
+    # byte cut is wall time, not noise.
+    verify_plan: str = "join"
+    # safety cap for the cogroup plan's need-list broadcast (≤ 2 ×
+    # pair_rows rows, ~24 B each — 8M pairs ≈ 380 MB hashed relation);
+    # above it verify_pairs falls back to the join plan even when
+    # verify_plan="cogroup"
     verify_cogroup_max_pairs: int = 8_000_000
-    # physical-only: below this many candidate pairs the corpus is small
-    # enough that the join plan's inputs broadcast outright (texts/sigs
-    # under autoBroadcastJoinThreshold — zero payload exchange), and the
-    # cogroup plan's extra need-distinct + Python cogroup round trip is
-    # pure overhead (measured ~+20% on the 20k-doc bench corpus). Pair
-    # counts track corpus size ~linearly on web-like corpora (14.6k
-    # pairs at 20k docs, 125k at 100k), so the floor flips plans around
-    # ~300k docs — where payload tables stop being broadcastable.
-    verify_cogroup_min_pairs: int = 200_000
     # --- determinism ---
     seed: int = 42
     # escape hatch (NOT in config_hash): validate_banding=False downgrades
@@ -171,8 +176,8 @@ class DedupConfig:
         {
             "max_broadcast_reps",
             "validate_banding",
+            "verify_plan",
             "verify_cogroup_max_pairs",
-            "verify_cogroup_min_pairs",
         }
     )
 

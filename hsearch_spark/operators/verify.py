@@ -248,23 +248,22 @@ def verify_pairs(
     """(a, b) -> edges(a, b, jaccard, method) where jaccard >= threshold.
 
     pair_rows: the caller-known row count of `candidates` (the pipeline
-    reads it from the checkpointed stage for free). When provided and
-    within [config.verify_cogroup_min_pairs, verify_cogroup_max_pairs],
-    both verify levels use the doc-once cogroup plan
-    (_cogroup_pair_payload — the need-list broadcast is proven bounded
-    by 2 × pair_rows rows); below the floor the join plan's broadcast
-    joins are cheaper, above the cap the need-list broadcast would be
-    unbounded, and with pair_rows=None nothing is proven — all three
-    fall back to the join-join plan. Survivor sets and values are
+    reads it from the checkpointed stage for free). The doc-once cogroup
+    plan runs only when config.verify_plan == "cogroup" AND pair_rows is
+    provided and at most verify_cogroup_max_pairs (the need-list
+    broadcast is proven bounded by 2 × pair_rows rows); otherwise the
+    join-join plan runs — including the default verify_plan="join",
+    which measured faster on tmpfs-shuffle hosts at every tested scale
+    (see DedupConfig.verify_plan). Survivor sets and values are
     identical either way — pinned by tests/test_verify.py
     cogroup-equality tests and the pipeline's cross-plan
-    assignment-hash determinism.
+    assignment-hash determinism (hash 4305472057565209187 at 1.6M docs
+    under both plans).
     """
     use_cogroup = (
-        pair_rows is not None
-        and config.verify_cogroup_min_pairs
-        <= pair_rows
-        <= config.verify_cogroup_max_pairs
+        config.verify_plan == "cogroup"
+        and pair_rows is not None
+        and 0 < pair_rows <= config.verify_cogroup_max_pairs
     )
     num_parts = max(
         candidates.sparkSession.sparkContext.defaultParallelism * 4, 8

@@ -77,17 +77,17 @@ def test_cluster_assignments_match_planted_truth(spark, pipeline_result):
 
 
 def test_pipeline_cogroup_verify_plan_same_clusters(spark):
-    """End-to-end plan equivalence: forcing the verify stage's doc-once
-    cogroup plan (floor lowered to cover the tiny corpus) must yield the
-    exact clusters the default join plan yields — the same invariant the
-    400k/1.6M sweep pins via the assignment hash."""
+    """End-to-end plan equivalence: selecting the verify stage's
+    doc-once cogroup plan must yield the exact clusters the default
+    join plan yields — the same invariant the 400k/1.6M sweep pins via
+    the assignment hash."""
     import dataclasses
 
     from hsearch_spark.config import DedupConfig
 
     pages, _ = pages_dataframe(spark, n_docs=250, seed=21)
     cfg = DedupConfig()
-    forced = dataclasses.replace(cfg, verify_cogroup_min_pairs=1)
+    forced = dataclasses.replace(cfg, verify_plan="cogroup")
     assert forced.config_hash() == cfg.config_hash()  # physical-only knob
     r1 = run_dedup(spark, pages, config=cfg)
     r2 = run_dedup(spark, pages, config=forced)

@@ -66,11 +66,10 @@ def test_verify_pairs_cogroup_and_join_plans_identical(spark):
 
     config, docs, sigs, cands = _fixture(spark)
     n = cands.count()
-    # floor lowered to force the cogroup plan on the tiny test corpus
-    cog_config = dataclasses.replace(config, verify_cogroup_min_pairs=1)
+    cog_config = dataclasses.replace(config, verify_plan="cogroup")
     assert 0 < n <= config.verify_cogroup_max_pairs
     cog = verify_pairs(cands, sigs, docs, cog_config, pair_rows=n)
-    join = verify_pairs(cands, sigs, docs, config, pair_rows=None)
+    join = verify_pairs(cands, sigs, docs, config, pair_rows=n)
     cols = ["a", "b", "jaccard", "method"]
     assert _rows(cog, cols) == _rows(join, cols)
     assert cog.count() > 0
