@@ -625,6 +625,120 @@ def needs_rebuild(index: IvfIndex, split_oversize: float = 4.0) -> bool:
     the programmatic trigger for re-running build_ivf_index on a drifted
     index (an .add-heavy ingest cadence calls this after appends; the
     check is one small aggregation, the rebuild is the expensive step it
-    gates)."""
+    gates). For a repair that touches ONLY the drifted lists instead of
+    re-GEMMing the whole corpus, see repair_oversized."""
     m = list_size_metrics(index, split_oversize)
     return bool(m.where(F.col("over_cap")).limit(1).count() > 0)
+
+
+def repair_oversized(
+    index: IvfIndex,
+    split_oversize: float = 4.0,
+    settle_iters: int = 2,
+    max_rounds: int = 8,
+) -> IvfIndex:
+    """In-place repair of a drifted index: split every over_cap list's
+    centroid into a ± seeded pair (the SAME split train_centroids
+    applies at build time, ann.py:186-203) and re-settle ONLY the
+    drifted lists' members among the new children. The middle ground
+    between .add (never touches existing rows, drifts) and a full
+    build_ivf_index (re-GEMMs the whole corpus):
+
+    - work is bounded by the drifted lists' membership — the member
+      scan filters on list_id, which on a persisted index is PARTITION
+      PRUNING (only the hot lists' parquet files are read); every
+      non-drifted row's (vb, list_id) is untouched and, in the
+      copy-on-write framing of a parquet/Iceberg-backed index, never
+      rewritten.
+    - members of a split list re-assign to their nearest among the
+      2 × #over child centroids (restricted GEMM — the same
+      _kmeans_pass/_update machinery as training, so fixed-point int64
+      sums keep the result bit-identical across parallelism), settled
+      for settle_iters iterations, up to max_rounds split rounds if a
+      child is still over cap.
+    - full-probe searches are exact regardless of assignment quality
+      (tested); probe-mode recall is what the repair restores —
+      occupancy is its leading indicator (list_size_metrics).
+
+    Deterministic: the split perturbation is seeded from the index's
+    build seed + list id (same scheme as training), and all sums are
+    fixed-point. Returns a NEW IvfIndex; `index` stays usable.
+    Reference: the reference re-centroids by re-running its offline
+    centers pipeline wholesale (kmer_search.cpp:215-227 just reads the
+    file); bounded in-place repair is the Spark-native upgrade."""
+    from hsearch_spark.utils import bounded_persist
+
+    seed = int(index.meta.get("seed", 42))
+    cents = index.centroids.copy()
+    inv = index.inv
+    prev_max_over = None
+    for _ in range(max(1, max_rounds)):
+        sizes = inv.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+        total = sum(int(r["n"]) for r in sizes)
+        if total == 0:
+            break
+        cap = max(1.0, split_oversize * total / cents.shape[0])
+        over = sorted(int(r["list_id"]) for r in sizes if int(r["n"]) > cap)
+        if not over:
+            break
+        # no-progress guard: a clump of (near-)identical vectors cannot
+        # be separated by any Voronoi split — every member ties to one
+        # child and rounds would add empty lists forever while the cap
+        # (oversize × mean) keeps shrinking. If the largest over-cap
+        # list did not shrink since last round, stop: byte-identical
+        # content is the exact-dedup channel's job, and probe searches
+        # of the clump's list stay correct, just unbounded-by-cap (the
+        # same residual train_centroids accepts at build time).
+        max_over = max(int(r["n"]) for r in sizes if int(r["list_id"]) in set(over))
+        if prev_max_over is not None and max_over >= prev_max_over:
+            break
+        prev_max_over = max_over
+        n_over = len(over)
+        # children: slot i reuses list id over[i] (plus side), slot
+        # n_over + i gets the next fresh id (minus side)
+        restricted = []
+        fresh_ids = []
+        for i, li in enumerate(over):
+            rng = np.random.default_rng(np.random.PCG64(seed * 1_000_003 + li))
+            delta = rng.standard_normal(cents.shape[1]) * 1e-2
+            plus, minus = cents[li] + delta, cents[li] - delta
+            restricted.append(plus / max(np.linalg.norm(plus), 1e-12))
+            fresh_ids.append(cents.shape[0] + i)
+        for i, li in enumerate(over):
+            rng = np.random.default_rng(np.random.PCG64(seed * 1_000_003 + li))
+            delta = rng.standard_normal(cents.shape[1]) * 1e-2
+            minus = cents[li] - delta
+            restricted.append(minus / max(np.linalg.norm(minus), 1e-12))
+        rmat = np.stack(restricted)
+        # partition-pruned on a persisted index: only the hot lists read
+        members = bounded_persist(
+            inv.where(F.col("list_id").isin(over)).select(
+                F.col("b").alias("id"), F.col("vb").alias("v")
+            ),
+            "ann.repair_oversized.members",
+        )
+        for _ in range(max(0, settle_iters)):
+            rows = _kmeans_pass(members, rmat)
+            rmat = _update(rmat, rows)
+        # final restricted assignment → global list ids
+        id_map = np.asarray(over + fresh_ids, dtype=np.int32)
+        rmat_c = rmat
+
+        @F.pandas_udf(T.IntegerType())
+        def assign(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy())
+            return pd.Series(id_map[np.argmax(m @ rmat_c.T, axis=1)])
+
+        reassigned = members.select(
+            F.col("id").alias("b"),
+            F.col("v").alias("vb"),
+            assign("v").alias("list_id"),
+        )
+        cents = np.vstack([cents, rmat[n_over:]])
+        for i, li in enumerate(over):
+            cents[li] = rmat[i]
+        inv = bounded_persist(
+            inv.where(~F.col("list_id").isin(over)).unionByName(reassigned),
+            "ann.repair_oversized.inv",
+        )
+    return IvfIndex(cents, inv, dict(index.meta))

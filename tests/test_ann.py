@@ -288,3 +288,68 @@ def test_ivf_list_metrics_flag_flips_on_skewed_add(spark):
     assert needs_rebuild(grown)
     # the original index's metrics are unchanged by the grown copy
     assert not needs_rebuild(idx)
+
+
+def test_ivf_repair_oversized_in_place(spark):
+    """repair_oversized splits ONLY the drifted lists and re-settles
+    ONLY their members: occupancy flag clears, untouched rows keep
+    their exact (b, list_id) assignment, no row is lost, full-probe
+    search stays exact over the union corpus, and the repair is
+    deterministic."""
+    import pyspark.sql.functions as F
+
+    from hsearch_spark.operators.ann import (
+        build_ivf_index,
+        needs_rebuild,
+        repair_oversized,
+    )
+
+    base = _blobs(spark, n=200, seed=3)
+    idx = build_ivf_index(base, n_lists=8, seed=42)
+    rng = np.random.default_rng(11)
+    hot = rng.standard_normal(16)
+    rows = [
+        (10_000 + i, [float(x) for x in hot + rng.standard_normal(16) * 0.01])
+        for i in range(900)
+    ]
+    extra = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    grown = idx.add(extra)
+    assert needs_rebuild(grown)
+
+    over = {
+        int(r["list_id"])
+        for r in grown.inv.groupBy("list_id").count().collect()
+        if r["count"] > 4.0 * 1100 / grown.n_lists
+    }
+    untouched_before = {
+        (r["b"], r["list_id"])
+        for r in grown.inv.where(~F.col("list_id").isin(list(over))).collect()
+    }
+
+    fixed = repair_oversized(grown)
+    # drift flag clears; the index grew by >= 1 child list
+    assert not needs_rebuild(fixed)
+    assert fixed.n_lists > grown.n_lists
+    # no row lost or duplicated
+    assert fixed.inv.count() == 1100
+    assert fixed.inv.select("b").distinct().count() == 1100
+    # untouched lists' assignments are bit-identical after the repair
+    assert untouched_before <= {
+        (r["b"], r["list_id"]) for r in fixed.inv.collect()
+    }
+    # full-probe exactness is preserved on the repaired index
+    union = base.union(extra)
+    exact = _topk_sets(cosine_topk_bruteforce(union, k=4), 4)
+    got = _topk_sets(
+        fixed.search(union, k=4, n_probe=fixed.n_lists, prune_partitions=False),
+        4,
+    )
+    assert got == exact
+    # deterministic: a second repair of the same index matches exactly
+    fixed2 = repair_oversized(grown)
+    assert np.array_equal(fixed.centroids, fixed2.centroids)
+    a1 = sorted((r["b"], r["list_id"]) for r in fixed.inv.collect())
+    a2 = sorted((r["b"], r["list_id"]) for r in fixed2.inv.collect())
+    assert a1 == a2
+    # the pre-repair index object is unaffected
+    assert needs_rebuild(grown)
