@@ -503,6 +503,53 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_repair_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-maintenance surface (operators/ann.py): .add() a
+    deterministic skewed batch onto a trained index (drift —
+    over_cap flips), then repair_oversized splits ONLY the drifted
+    lists in place. Returns the per-list occupancy ledger before and
+    after (phase, list_id, n, over_cap). rows-only — seeded k-means
+    has no SQL oracle; invariants (flag clears, untouched rows keep
+    their assignment, full-probe exactness, determinism) are pinned by
+    tests/test_ann.py::test_ivf_repair_oversized_in_place."""
+    import numpy as np
+
+    from hsearch_spark.operators.ann import (
+        build_ivf_index,
+        list_size_metrics,
+        repair_oversized,
+    )
+
+    e = _read(spark, sf_dir, "embeddings")
+    idx = build_ivf_index(e, n_lists=16, seed=42)
+    # deterministic hot region: many near-identical vectors (seeded
+    # numpy, driver-side) — the boilerplate-embedding drift mode
+    d = len(e.select("embedding").first()[0])
+    rng = np.random.default_rng(7)
+    hot = rng.standard_normal(d)
+    rows = [
+        (
+            1_000_000 + i,
+            [float(x) for x in hot + rng.standard_normal(d) * 0.05],
+        )
+        for i in range(600)
+    ]
+    extra = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    drifted = idx.add(extra)
+    fixed = repair_oversized(drifted)
+
+    def ledger(index, phase):
+        return list_size_metrics(index).select(
+            F.lit(phase).alias("phase"), "list_id", "n", "over_cap"
+        )
+
+    return ledger(drifted, "drifted").unionByName(
+        ledger(fixed, "repaired")
+    ).orderBy("phase", "list_id")
+
+
 def q_ivf_cosine_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF in its actual operating regime (n_probe << n_lists): each
     query touches n_probe/n_lists of the table. rows-only — approximate
@@ -1028,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (seeded LSH internals; no SQL equivalent)
         "ivf_cosine_topk_probe": q_ivf_cosine_topk_probe,
         "ivf_index_probe": q_ivf_index_probe,
+        "ivf_repair_occupancy": q_ivf_repair_occupancy,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "minhash_clusters": q_minhash_clusters,

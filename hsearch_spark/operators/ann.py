@@ -81,10 +81,16 @@ _DRIVER_COMBINE_MAX_BYTES = 256 << 20  # 256 MiB of partial-sum payload
 _PARTIAL_ROW_OVERHEAD = 64  # Row/pickle framing per partial row, approx
 
 
-def _kmeans_pass(unit: DataFrame, cents: np.ndarray) -> list:
+def _kmeans_pass(unit: DataFrame, cents: np.ndarray, assign=None) -> list:
     """One spherical k-means assign+update pass. Returns
     [(list_id, n_members, sum_bytes)] rows — n_lists rows max; all
     heavy work (GEMM assign, fixed-point partial sums) is distributed.
+
+    `assign(m, pdf) -> int array` overrides the global argmax — used by
+    repair_oversized to CONSTRAIN each member to its own parent's child
+    pair (a global argmax over all children lets a dense region's
+    members re-concentrate into one child across parents, undoing the
+    split).
 
     The per-list combine is TIERED: each task emits at most n_lists
     partial rows, so the full partial set is n_partitions × n_lists
@@ -103,7 +109,10 @@ def _kmeans_pass(unit: DataFrame, cents: np.ndarray) -> list:
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf["v"].to_numpy())
-            lists = np.argmax(m @ cents.T, axis=1)  # ties → lowest index
+            if assign is not None:
+                lists = assign(m, pdf)
+            else:
+                lists = np.argmax(m @ cents.T, axis=1)  # ties → lowest index
             fixed = np.round(m * _FIX).astype(np.int64)
             uniq = np.unique(lists)
             yield pd.DataFrame(
@@ -710,29 +719,65 @@ def repair_oversized(
             minus = cents[li] - delta
             restricted.append(minus / max(np.linalg.norm(minus), 1e-12))
         rmat = np.stack(restricted)
-        # partition-pruned on a persisted index: only the hot lists read
+        # partition-pruned on a persisted index: only the hot lists read.
+        # `parent` rides along so every member settles WITHIN its own
+        # parent's child pair — a global nearest-child assignment would
+        # let a dense region's members re-concentrate into one child
+        # across parents, undoing the split.
+        pair_pos = {li: i for i, li in enumerate(over)}
         members = bounded_persist(
             inv.where(F.col("list_id").isin(over)).select(
-                F.col("b").alias("id"), F.col("vb").alias("v")
+                F.col("b").alias("id"),
+                F.col("vb").alias("v"),
+                F.col("list_id").alias("parent"),
             ),
             "ann.repair_oversized.members",
         )
+
+        def pair_side(m: np.ndarray, pdf: pd.DataFrame, rm: np.ndarray):
+            pos = np.asarray(
+                [pair_pos[int(x)] for x in pdf["parent"].to_numpy()],
+                dtype=np.int64,
+            )
+            plus = np.einsum("ij,ij->i", m, rm[pos])
+            minus = np.einsum("ij,ij->i", m, rm[pos + n_over])
+            # strict > : ties go to the plus side (lower index), same
+            # tie-break as the global argmax
+            return pos + (minus > plus).astype(np.int64) * n_over
+
         for _ in range(max(0, settle_iters)):
-            rows = _kmeans_pass(members, rmat)
+            rm_i = rmat
+            rows = _kmeans_pass(
+                members, rmat, assign=lambda m, pdf: pair_side(m, pdf, rm_i)
+            )
             rmat = _update(rmat, rows)
-        # final restricted assignment → global list ids
+        # final constrained assignment → global list ids
         id_map = np.asarray(over + fresh_ids, dtype=np.int32)
         rmat_c = rmat
 
-        @F.pandas_udf(T.IntegerType())
-        def assign(vecs: pd.Series) -> pd.Series:
-            m = np.stack(vecs.to_numpy())
-            return pd.Series(id_map[np.argmax(m @ rmat_c.T, axis=1)])
+        def reassign(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame(
+                        {
+                            "b": pd.Series([], dtype="int64"),
+                            "vb": pd.Series([], dtype="object"),
+                            "list_id": pd.Series([], dtype="int32"),
+                        }
+                    )
+                    continue
+                m = np.stack(pdf["v"].to_numpy())
+                ridx = pair_side(m, pdf, rmat_c)
+                yield pd.DataFrame(
+                    {
+                        "b": pdf["id"].to_numpy(),
+                        "vb": pdf["v"],
+                        "list_id": id_map[ridx],
+                    }
+                )
 
-        reassigned = members.select(
-            F.col("id").alias("b"),
-            F.col("v").alias("vb"),
-            assign("v").alias("list_id"),
+        reassigned = members.mapInPandas(
+            reassign, "b long, vb array<double>, list_id int"
         )
         cents = np.vstack([cents, rmat[n_over:]])
         for i, li in enumerate(over):

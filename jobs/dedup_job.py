@@ -89,7 +89,12 @@ def main(argv: list[str] | None = None) -> None:
         n_clusters = res.clusters.select("cluster_id").distinct().count()
         # order-independent assignment hash — the cross-cluster-size
         # determinism invariant (north rule): identical at N and 4N
-        # executors (and across reps within one JVM)
+        # executors (and across reps within one JVM). Limitation: the
+        # XOR fold cancels duplicate (doc_id, cluster_id) rows pairwise,
+        # so an even-multiplicity row-duplication regression would not
+        # move it — which is why n_docs and n_clusters are reported
+        # alongside and compared across legs by the sweep (count-
+        # sensitive complement to the order-insensitive hash)
         assignment_hash = int(
             res.clusters.agg(
                 F.coalesce(
